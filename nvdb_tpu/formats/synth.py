@@ -1,0 +1,48 @@
+"""Synthetic dataset generation.
+
+The reference's corpus is 384-D L2-normalized MiniLM embeddings (Performance.md:12-15);
+for reproducible benchmarking without the arXiv pipeline we generate seeded synthetic
+embeddings with the same invariants (unit L2 norm, fp32) and optional cluster
+structure so IVF/partition indexes have something real to exploit."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def normalized_gaussian(count: int, dim: int, seed: int = 0,
+                        dtype=np.float32) -> np.ndarray:
+    """IID Gaussian rows, L2-normalized. The null model: no cluster structure."""
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((count, dim), dtype=np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(dtype)
+
+
+def clustered(count: int, dim: int, n_clusters: int = 64, spread: float = 0.25,
+              seed: int = 0, dtype=np.float32) -> np.ndarray:
+    """Mixture-of-Gaussians rows, L2-normalized: ``center + spread * noise``.
+    Gives ANN indexes realistic recall behaviour (real embeddings cluster)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim), dtype=np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.integers(0, n_clusters, size=count)
+    x = centers[assign] + spread * rng.standard_normal((count, dim), dtype=np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(dtype)
+
+
+def sample_queries(base: np.ndarray, q: int, seed: int = 0,
+                   perturb: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Sample ``q`` unique base rows as queries (optionally perturbed), the
+    nvdb_make_query scheme (tools/nvdb_make_query.cpp:56-114): seeded, unique,
+    returns (queries_f32, chosen_indices)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(base.shape[0], size=q, replace=False)
+    queries = np.asarray(base[idx], dtype=np.float32)
+    if perturb > 0.0:
+        queries = queries + perturb * rng.standard_normal(queries.shape).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    return queries, idx.astype(np.uint32)

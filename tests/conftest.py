@@ -1,0 +1,16 @@
+"""Test configuration.
+
+Tests run on the CPU backend with 8 virtual devices so multi-device sharding is
+exercised without a TPU pod (the "multi-node without a cluster" strategy,
+SURVEY.md §4). Pallas kernels auto-select interpret mode off-TPU. Must run
+before jax is imported anywhere."""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,126 @@
+"""Round-trip and bit-compatibility tests for vecbin64 / raw12 / gtbin."""
+
+import numpy as np
+import pytest
+
+from nvdb_tpu.formats import gtbin, synth, vecbin
+
+
+def test_vecbin_f32_roundtrip(tmp_path):
+    x = synth.normalized_gaussian(100, 32, seed=1)
+    p = str(tmp_path / "a.vecbin")
+    info = vecbin.write_vecbin(p, x)
+    assert info.count == 100 and info.dim == 32 and info.dtype == vecbin.DTYPE_F32
+    f = vecbin.VecbinFile(p)
+    assert f.count == 100 and f.dim == 32
+    np.testing.assert_array_equal(np.asarray(f.vectors), x)
+    np.testing.assert_array_equal(f.rows_f32(5, 10), x[5:10])
+
+
+def test_vecbin_header_layout(tmp_path):
+    """The on-disk header must match the reference struct byte-for-byte
+    (vecbin_format.h:17-29): offsets magic@0 version@8 dtype@12 dim@16
+    reserved0@20 count@24, total 64 bytes."""
+    x = np.zeros((3, 7), dtype=np.float32)
+    p = str(tmp_path / "h.vecbin")
+    vecbin.write_vecbin(p, x)
+    raw = open(p, "rb").read()
+    assert len(raw) == 64 + 3 * 7 * 4
+    assert int.from_bytes(raw[0:8], "little") == vecbin.MAGIC
+    assert int.from_bytes(raw[8:12], "little") == 1  # version
+    assert int.from_bytes(raw[12:16], "little") == vecbin.DTYPE_F32
+    assert int.from_bytes(raw[16:20], "little") == 7  # dim
+    assert int.from_bytes(raw[24:32], "little") == 3  # count
+
+
+def test_raw12_roundtrip(tmp_path):
+    x = synth.normalized_gaussian(17, 12, seed=2)
+    p = str(tmp_path / "legacy.bin")
+    info = vecbin.write_vecbin(p, x, legacy_raw12=True)
+    assert info.legacy_raw12
+    f = vecbin.VecbinFile(p)
+    assert f.count == 17 and f.dim == 12 and f.dtype == vecbin.DTYPE_F32
+    np.testing.assert_array_equal(np.asarray(f.vectors), x)
+
+
+def test_vecbin_i8_roundtrip(tmp_path):
+    x = synth.normalized_gaussian(50, 16, seed=3)
+    q, scales = vecbin.quantize_i8(x)
+    assert q.dtype == np.int8 and np.abs(q).max() <= 127
+    p = str(tmp_path / "q.vecbin")
+    vecbin.write_vecbin(p, q, dtype="i8", scales=scales)
+    f = vecbin.VecbinFile(p)
+    assert f.dtype == vecbin.DTYPE_I8
+    np.testing.assert_array_equal(np.asarray(f.vectors), q)
+    np.testing.assert_array_equal(np.asarray(f.scales), scales)
+    # dequantized rows approximate originals within the max-abs/127 grid
+    deq = f.rows_f32()
+    assert np.max(np.abs(deq - x)) <= np.max(scales) * 0.5 + 1e-7
+
+
+def test_quantize_matches_reference_scheme():
+    """scale = max_abs/127, round, clamp (nvdb_quantize_i8.cpp:71-80)."""
+    row = np.array([[0.5, -1.0, 0.25, 0.0]], dtype=np.float32)
+    q, s = vecbin.quantize_i8(row)
+    assert s[0] == np.float32(1.0 / 127.0)
+    np.testing.assert_array_equal(q[0], [64, -127, 32, 0])  # rint(0.5*127)=64 (63.5->64)
+
+
+def test_vecbin_bf16_roundtrip(tmp_path):
+    x = synth.normalized_gaussian(20, 8, seed=4)
+    b = vecbin.to_bf16(x)
+    p = str(tmp_path / "b.vecbin")
+    vecbin.write_vecbin(p, b, dtype="bf16")
+    f = vecbin.VecbinFile(p)
+    assert f.dtype == vecbin.DTYPE_BF16
+    np.testing.assert_allclose(f.rows_f32(), x, atol=0.01)
+
+
+def test_streaming_writer(tmp_path):
+    x = synth.normalized_gaussian(33, 8, seed=5)
+    q, s = vecbin.quantize_i8(x)
+    p = str(tmp_path / "s.vecbin")
+    with vecbin.StreamingVecbinWriter(p, 8, "i8") as w:
+        w.append(q[:10], s[:10])
+        w.append(q[10:], s[10:])
+    f = vecbin.VecbinFile(p)
+    assert f.count == 33
+    np.testing.assert_array_equal(np.asarray(f.vectors), q)
+    np.testing.assert_array_equal(np.asarray(f.scales), s)
+
+
+def test_vecbin_size_validation(tmp_path):
+    x = np.zeros((4, 4), dtype=np.float32)
+    p = str(tmp_path / "bad.vecbin")
+    vecbin.write_vecbin(p, x)
+    with open(p, "ab") as f:
+        f.write(b"xx")  # corrupt length
+    with pytest.raises(ValueError, match="size mismatch"):
+        vecbin.VecbinFile(p)
+
+
+def test_gtbin_roundtrip(tmp_path):
+    ids = np.arange(60, dtype=np.uint32).reshape(6, 10)
+    p = str(tmp_path / "gt.gtbin")
+    gtbin.write_gtbin(p, ids, dim=384, N=1000)
+    info, got = gtbin.read_gtbin(p)
+    assert (info.Q, info.k, info.dim, info.N) == (6, 10, 384, 1000)
+    np.testing.assert_array_equal(np.asarray(got), ids)
+    raw = open(p, "rb").read()
+    assert int.from_bytes(raw[0:8], "little") == gtbin.GT_MAGIC
+    assert len(raw) == 64 + 60 * 4
+
+
+def test_sample_queries_unique_and_seeded():
+    base = synth.normalized_gaussian(200, 16, seed=7)
+    q1, i1 = synth.sample_queries(base, 50, seed=9)
+    q2, i2 = synth.sample_queries(base, 50, seed=9)
+    np.testing.assert_array_equal(i1, i2)
+    assert len(set(i1.tolist())) == 50
+    np.testing.assert_array_equal(q1, base[i1])
+
+
+def test_synth_normalized():
+    for gen in (synth.normalized_gaussian, synth.clustered):
+        x = gen(64, 24, seed=11)
+        np.testing.assert_allclose(np.linalg.norm(x, axis=1), 1.0, atol=1e-5)
