@@ -1,0 +1,103 @@
+"""Exact flat-scan index.
+
+One index subsumes the reference's entire scan family — FlatIndex /
+FlatIndexOMP / FlatIndexAsync / FlatIndexPool (flat_index{,_omp,_async,_pool}.cpp)
+— because on TPU the scheduling variants are just grid partitioning inside one
+fused kernel, and cross-chip scale-out is sharding (SURVEY.md §2.4.1). Query
+batching (the reference's bench-side batched path, nvdb_bench.cpp:47-158) is the
+native mode here: B queries share one stream of the base.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from nvdb_tpu.kernels import dispatch
+from nvdb_tpu.store import VectorStore
+from nvdb_tpu.utils import round_up
+
+# Batch sizes are bucketed to powers of two (>= 8, the f32 sublane count) to
+# bound the number of jit recompiles while keeping tile shapes MXU-friendly.
+_MIN_B = 8
+
+
+def _bucket_batch(b: int) -> int:
+    p = _MIN_B
+    while p < b:
+        p *= 2
+    return p
+
+
+class FlatIndex:
+    """Exact top-k search over a :class:`VectorStore` by dot product."""
+
+    def __init__(self, store: VectorStore, backend: str = "auto"):
+        self.store = store
+        self.backend = backend
+        self._jit_cache: dict = {}
+
+    # -- device-level call (jit-compiled per (B, k) bucket) -------------------
+
+    def _compiled(self, b_padded: int, k: int):
+        key = (b_padded, k)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            store = self.store
+            backend = self.backend
+
+            def run(queries):
+                return dispatch.flat_topk(
+                    queries, store.vectors, store.scales, store.n, k,
+                    backend=backend)
+
+            fn = jax.jit(run)
+            self._jit_cache[key] = fn
+        return fn
+
+    def search_device(self, queries: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+        """queries [B, Dp] already padded & device-resident; returns device arrays."""
+        return self._compiled(queries.shape[0], k)(queries)
+
+    # -- host-level convenience API -------------------------------------------
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """queries [Q, d] f32 on host -> (scores [Q, k] f32, ids [Q, k] int32).
+
+        Pads dims and the batch (to a power-of-two bucket), runs on device,
+        strips padding.
+        """
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        q_n = queries.shape[0]
+        qp = self.store.pad_queries(queries)
+        b = _bucket_batch(q_n)
+        if b != q_n:
+            qp = np.concatenate(
+                [qp, np.zeros((b - q_n, qp.shape[1]), dtype=np.float32)], axis=0)
+        vals, ids = self.search_device(jax.numpy.asarray(qp), k)
+        return np.asarray(vals)[:q_n], np.asarray(ids)[:q_n]
+
+    def warmup(self, batch_sizes=(_MIN_B,), k: int = 10) -> None:
+        """Pre-compile the scan for the given batch buckets (the reference's
+        warmup loops, nvdb_bench.cpp:317-322)."""
+        d = self.store.d
+        for b in batch_sizes:
+            q = np.zeros((b, d), dtype=np.float32)
+            v, i = self.search(q, k)
+            jax.block_until_ready((v, i))
+
+
+def build_ground_truth(
+    store: VectorStore, queries: np.ndarray, k: int, batch: int = 256,
+    backend: str = "auto",
+) -> np.ndarray:
+    """Exact top-k ids for all queries — the nvdb_gt_build core
+    (nvdb_gt_build.cpp:74-127). Returns uint32 ids [Q, k]."""
+    idx = FlatIndex(store, backend=backend)
+    out = []
+    for s in range(0, queries.shape[0], batch):
+        _, ids = idx.search(queries[s : s + batch], k)
+        out.append(ids)
+    return np.concatenate(out, axis=0).astype(np.uint32)

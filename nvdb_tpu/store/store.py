@@ -1,0 +1,164 @@
+"""HBM-resident embedding store.
+
+The TPU analogue of the reference's zero-copy mmap ``VectorDataset``
+(vector_dataset.cpp:24-94) *plus* its CUDA-side process-global device cache of the
+base matrix (cuda_refine.cu:25-38, 179-204): rows live in device HBM as a single
+padded dense array, dtype-aware (f32 / bf16 / int8 + per-row f32 scales), optionally
+sharded over a device mesh axis with ``NamedSharding``.
+
+Padding policy: rows are padded up to a multiple of ``row_block`` (and of the shard
+count) and dims up to a multiple of 128 (TPU lane width). Padding rows are zero and
+masked out of every scan by ``n`` (the valid-row count); padding dims are zero in
+both store and queries so dot products are unaffected.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvdb_tpu.formats import vecbin
+from nvdb_tpu.utils import round_up
+
+# dtype-code -> jnp dtype of the device payload
+_JNP_BY_CODE = {
+    vecbin.DTYPE_F32: jnp.float32,
+    vecbin.DTYPE_BF16: jnp.bfloat16,
+    vecbin.DTYPE_F16: jnp.bfloat16,  # f16 files are re-encoded to the TPU-native bf16
+    vecbin.DTYPE_I8: jnp.int8,
+}
+
+DEFAULT_ROW_BLOCK = 1024
+
+
+@dataclasses.dataclass
+class VectorStore:
+    """Device-resident base matrix.
+
+    vectors: [Np, Dp] (padded), dtype f32 | bf16 | int8
+    scales:  [Np] f32 per-row scales (int8 only; padding rows get scale 1.0)
+    n, d:    valid row / dim counts
+    dtype_code: vecbin DTYPE_* describing the *store* encoding
+    src_dtype_code: dtype of the file it came from (for bytes-per-query parity)
+    """
+
+    vectors: jax.Array
+    scales: Optional[jax.Array]
+    n: int
+    d: int
+    dtype_code: int
+    src_dtype_code: int
+
+    # -- constructors --------------------------------------------------------
+
+    @classmethod
+    def from_numpy(
+        cls,
+        x: np.ndarray,
+        dtype: str = "f32",
+        scales: Optional[np.ndarray] = None,
+        row_block: int = DEFAULT_ROW_BLOCK,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        n_shards: int = 1,
+        src_dtype_code: Optional[int] = None,
+    ) -> "VectorStore":
+        """Build a store from host rows.
+
+        ``x`` is either raw f32 rows (converted per ``dtype``) or rows already in
+        the target encoding (then ``scales`` must accompany i8).
+        """
+        code = vecbin.dtype_code(dtype)
+        n, d = x.shape
+        if code == vecbin.DTYPE_I8 and x.dtype != np.int8:
+            x, scales = vecbin.quantize_i8(x)
+        jdt = _JNP_BY_CODE[code]
+
+        np_pad = round_up(max(n, 1), row_block * max(n_shards, 1))
+        dp = round_up(d, 128)
+        host = np.zeros((np_pad, dp), dtype=np.float32 if code != vecbin.DTYPE_I8 else np.int8)
+        host[:n, :d] = np.asarray(x, dtype=host.dtype) if code != vecbin.DTYPE_I8 else x
+        if code in (vecbin.DTYPE_BF16, vecbin.DTYPE_F16):
+            host = host.astype(np.dtype(jnp.bfloat16.dtype))
+        vecs = jax.device_put(jnp.asarray(host, dtype=jdt), sharding)
+
+        sc = None
+        if code == vecbin.DTYPE_I8:
+            s_host = np.ones((np_pad,), dtype=np.float32)
+            assert scales is not None
+            s_host[:n] = scales
+            s_sharding = None
+            if sharding is not None:
+                s_sharding = _row_sharding_1d(sharding)
+            sc = jax.device_put(jnp.asarray(s_host), s_sharding)
+
+        # store_code after any re-encoding (f16 -> bf16)
+        store_code = vecbin.DTYPE_BF16 if code == vecbin.DTYPE_F16 else code
+        return cls(vecs, sc, n, d, store_code,
+                   src_dtype_code if src_dtype_code is not None else code)
+
+    @classmethod
+    def from_vecbin(
+        cls,
+        path: str,
+        row_block: int = DEFAULT_ROW_BLOCK,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        n_shards: int = 1,
+    ) -> "VectorStore":
+        f = vecbin.VecbinFile(path)
+        code = f.dtype
+        if code == vecbin.DTYPE_I8:
+            return cls.from_numpy(
+                np.asarray(f.vectors), "i8", scales=np.asarray(f.scales),
+                row_block=row_block, sharding=sharding, n_shards=n_shards,
+                src_dtype_code=code)
+        x = np.asarray(f.vectors, dtype=np.float32)
+        name = {vecbin.DTYPE_F32: "f32", vecbin.DTYPE_F16: "f16",
+                vecbin.DTYPE_BF16: "bf16"}[code]
+        return cls.from_numpy(x, name, row_block=row_block, sharding=sharding,
+                              n_shards=n_shards, src_dtype_code=code)
+
+    # -- properties -----------------------------------------------------------
+
+    @property
+    def n_padded(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def d_padded(self) -> int:
+        return self.vectors.shape[1]
+
+    @property
+    def payload_bytes(self) -> int:
+        """Reference ``bytes_per_query`` semantics: valid payload + aux bytes of
+        the store encoding (nvdb_bench.cpp:414-421)."""
+        return vecbin.payload_and_aux_bytes(self.n, self.d, self.dtype_code)
+
+    @property
+    def hbm_bytes(self) -> int:
+        """Actual HBM bytes streamed per full scan (padded shapes)."""
+        b = self.n_padded * self.d_padded * self.vectors.dtype.itemsize
+        if self.scales is not None:
+            b += self.n_padded * 4
+        return b
+
+    def pad_queries(self, q: np.ndarray) -> np.ndarray:
+        """Zero-pad query dims to the store's padded dim."""
+        q = np.asarray(q, dtype=np.float32)
+        if q.shape[1] == self.d_padded:
+            return q
+        out = np.zeros((q.shape[0], self.d_padded), dtype=np.float32)
+        out[:, : q.shape[1]] = q[:, : self.d]
+        return out
+
+
+def _row_sharding_1d(sharding: jax.sharding.Sharding) -> Optional[jax.sharding.Sharding]:
+    """Derive the 1-D per-row sharding (for scales) from a 2-D row sharding."""
+    if isinstance(sharding, jax.sharding.NamedSharding):
+        row_axis = sharding.spec[0] if len(sharding.spec) else None
+        return jax.sharding.NamedSharding(
+            sharding.mesh, jax.sharding.PartitionSpec(row_axis))
+    return None

@@ -14,3 +14,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: XLA-CPU compiles are ~5-10s each here, and the
+# suite compiles a dozen (batch, k, dtype) variants; cache makes re-runs fast.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/nvdb_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
