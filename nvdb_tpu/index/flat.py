@@ -45,13 +45,22 @@ class FlatIndex:
         key = (b_padded, k)
         fn = self._jit_cache.get(key)
         if fn is None:
-            store = self.store
             backend = self.backend
+            n_valid = self.store.n
+            has_scales = self.store.scales is not None
 
-            def run(queries):
-                return dispatch.flat_topk(
-                    queries, store.vectors, store.scales, store.n, k,
-                    backend=backend)
+            # vectors/scales are jit ARGUMENTS, never closure constants: a
+            # closed-over device array is embedded into the lowered module as a
+            # literal, which forces a device->host transfer of the whole base at
+            # trace time (catastrophic for GB-scale stores).
+            if has_scales:
+                def run(queries, vectors, scales):
+                    return dispatch.flat_topk(
+                        queries, vectors, scales, n_valid, k, backend=backend)
+            else:
+                def run(queries, vectors):
+                    return dispatch.flat_topk(
+                        queries, vectors, None, n_valid, k, backend=backend)
 
             fn = jax.jit(run)
             self._jit_cache[key] = fn
@@ -59,7 +68,10 @@ class FlatIndex:
 
     def search_device(self, queries: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
         """queries [B, Dp] already padded & device-resident; returns device arrays."""
-        return self._compiled(queries.shape[0], k)(queries)
+        fn = self._compiled(queries.shape[0], k)
+        if self.store.scales is not None:
+            return fn(queries, self.store.vectors, self.store.scales)
+        return fn(queries, self.store.vectors)
 
     # -- host-level convenience API -------------------------------------------
 

@@ -22,7 +22,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# plain float so importing this module never initializes a backend
+NEG_INF = float("-inf")
 
 
 def _pick_chunk(n_padded: int, row_block: int, target: int) -> int:

@@ -8,7 +8,9 @@ before jax is imported anywhere."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, not setdefault: the environment ships JAX_PLATFORMS=axon (the remote
+# TPU tunnel) globally; tests must run on local CPU with virtual devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
