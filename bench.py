@@ -1,0 +1,132 @@
+"""Headline benchmark: batched exact flat-scan top-10 over 1M x 768 bf16.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": QPS, "unit": "QPS", "vs_baseline": ...}
+
+Baseline: the reference's best 1M reduced-precision flat-scan throughput,
+57.4 QPS (FP16 OMP@8 on i7-12700, BASELINE.md §2 / Performance.md:189-198) —
+and our store is 768-D vs the reference's 384-D, i.e. we stream 2x the bytes
+per vector and still compare against their 384-D number.
+
+Timing is honest through the axon relay: every timed iteration ends with a
+host fetch of the result ids (async dispatch otherwise returns early), and
+steady-state uses chained batches with one final fetch, mirroring the
+reference's batched-throughput accounting (nvdb_bench.cpp:340-408).
+
+Diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16", "i8"])
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes for CPU validation")
+    args = ap.parse_args()
+
+    if args.smoke:
+        args.n, args.d, args.batch, args.iters = 20000, 128, 8, 5
+
+    import jax
+
+    # cache compiled executables (first pallas compile via the axon remote
+    # compiler is ~5 min for the 1M config; cached re-runs are seconds)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nvdb_jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    from nvdb_tpu.kernels import dispatch
+    from nvdb_tpu.utils import round_up
+
+    backend = jax.default_backend()
+    log(f"backend={backend} devices={jax.devices()}")
+
+    # synthesize the store on-device (host->device of GBs through the relay is
+    # not part of the measured workload)
+    Np = round_up(args.n, 2048)
+    Dp = round_up(args.d, 128)
+    key = jax.random.PRNGKey(0)
+    base_f32 = jax.random.normal(key, (Np, Dp), dtype=jnp.float32)
+    scales = None
+    if args.dtype == "bf16":
+        base = base_f32.astype(jnp.bfloat16)
+    elif args.dtype == "i8":
+        amax = jnp.max(jnp.abs(base_f32), axis=1)
+        scales = jnp.where(amax > 0, amax / 127.0, 1.0)
+        base = jnp.clip(jnp.round(base_f32 / scales[:, None]), -127, 127).astype(jnp.int8)
+    else:
+        base = base_f32
+    del base_f32
+    base = jax.block_until_ready(base)
+    qpool = jax.block_until_ready(
+        jax.random.normal(jax.random.PRNGKey(1), (args.batch * 4, Dp), jnp.float32))
+
+    n_valid, k = args.n, args.k
+
+    @jax.jit
+    def scan(q, v, s):
+        return dispatch.flat_topk(q, v, s, n_valid, k, backend="auto")
+
+    @jax.jit
+    def scan_nos(q, v):
+        return dispatch.flat_topk(q, v, None, n_valid, k, backend="auto")
+
+    def run(qs):
+        if scales is not None:
+            return scan(qs, base, scales)
+        return scan_nos(qs, base)
+
+    B = args.batch
+    slices = [qpool[i * B:(i + 1) * B] for i in range(4)]
+
+    # warmup / compile (reference warms up too, nvdb_bench.cpp:317-322)
+    t0 = time.perf_counter()
+    _ = np.asarray(run(slices[0])[1])
+    log(f"compile+first scan: {time.perf_counter() - t0:.1f}s")
+    for s in slices[1:]:
+        _ = np.asarray(run(s)[1])
+
+    # steady state: chained scans, one trailing fetch per timing window
+    iters = args.iters
+    t0 = time.perf_counter()
+    r = None
+    for i in range(iters):
+        r = run(slices[i % 4])
+    _ = np.asarray(r[1])
+    dt = (time.perf_counter() - t0) / iters
+
+    bpe = {"f32": 4, "bf16": 2, "i8": 1}[args.dtype]
+    payload = args.n * args.d * bpe + (args.n * 4 if args.dtype == "i8" else 0)
+    qps = B / dt
+    gbps = (Np * Dp * bpe) / dt / 1e9
+    log(f"{args.dtype} {args.n}x{args.d} B={B}: {dt*1e3:.3f} ms/scan "
+        f"{qps:.1f} QPS  {gbps:.1f} GB/s effective")
+
+    baseline_qps = 57.4  # reference 1M FP16 flat scan, OMP@8 (384-D!)
+    metric = f"flatscan_{args.dtype}_{args.n//1000}Kx{args.d}_b{B}_qps"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(qps, 1),
+        "unit": "QPS",
+        "vs_baseline": round(qps / baseline_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -79,14 +79,15 @@ def _scores(q: jax.Array, tile: jax.Array, scale_row: Optional[jax.Array]) -> ja
     return s
 
 
-def _make_kernel(k: int, tile_rows: int, n_valid: int, has_scales: bool):
-    def kernel(q_ref, v_ref, *rest):
+def _make_kernel(k: int, tile_rows: int, has_scales: bool):
+    def kernel(n_ref, q_ref, v_ref, *rest):
         if has_scales:
             s_ref, vals_out, ids_out, vals_scr, ids_scr = rest
         else:
             (vals_out, ids_out, vals_scr, ids_scr) = rest
             s_ref = None
 
+        n_valid = n_ref[0]  # scalar-prefetch: valid row count (may be traced)
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -142,41 +143,50 @@ def pallas_flat_topk(
         raise ValueError(f"k={k} exceeds MAX_K={MAX_K}")
     B, Dp = queries.shape
     Np = vectors.shape[0]
-    n_valid = int(n_valid)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     T = tile_rows or _pick_tile_rows(Np, vectors.dtype, Dp)
     assert Np % T == 0, (Np, T)
     n_tiles = Np // T
 
-    kernel = _make_kernel(k, T, n_valid, scales is not None)
+    kernel = _make_kernel(k, T, scales is not None)
+
+    # n_valid is a scalar-prefetch operand (SMEM), so one compiled kernel serves
+    # any valid-row count — needed by sharded shards whose count is traced.
+    n_arr = jnp.asarray(n_valid, dtype=jnp.int32).reshape(1)
 
     in_specs = [
-        pl.BlockSpec((B, Dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((T, Dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, Dp), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, Dp), lambda i, n: (i, 0), memory_space=pltpu.VMEM),
     ]
     args = [queries, vectors]
     if scales is not None:
-        in_specs.append(pl.BlockSpec((T, 1), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((T, 1), lambda i, n: (i, 0), memory_space=pltpu.VMEM))
         args.append(scales.reshape(Np, 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((B, k), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, k), jnp.float32),
+            pltpu.VMEM((B, k), jnp.int32),
+        ],
+    )
 
     bpe = jnp.dtype(vectors.dtype).itemsize
     flops = 2 * B * Np * Dp * (6 if vectors.dtype == jnp.float32 else 1)
     out = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((B, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, k), jnp.float32),
             jax.ShapeDtypeStruct((B, k), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((B, k), jnp.float32),
-            pltpu.VMEM((B, k), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # carried scratch: sequential grid
@@ -187,5 +197,5 @@ def pallas_flat_topk(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(*args)
+    )(n_arr, *args)
     return out[0], out[1]

@@ -1,0 +1,123 @@
+"""Batched Lloyd k-means on the MXU.
+
+Replaces FAISS's coarse-quantizer / PQ-codebook training (nvdb_ivf_build.cpp:59-95,
+nvdb_ivfpq_build.cpp:78-96) with a TPU-first design:
+
+- assignment = one [chunk, D] x [D, K] matmul per chunk (argmin of
+  ||x||^2 - 2 x.c + ||c||^2, with ||x||^2 dropped as rank-invariant),
+- centroid update = one-hot [chunk, K]^T x [chunk, D] matmul accumulated in a
+  ``lax.scan`` carry — sums and counts come out of the MXU, no scatter-adds,
+- empty clusters re-seeded from the data (FAISS does the same reassign trick).
+
+Everything is static-shaped and jit-friendly; the same code runs on CPU for tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _assign_chunk(chunk: jax.Array, cents: jax.Array) -> jax.Array:
+    """[T, D], [K, D] -> [T] int32 nearest-centroid (L2)."""
+    dots = jnp.dot(chunk, cents.T, preferred_element_type=jnp.float32)
+    c2 = jnp.sum(cents * cents, axis=1)[None, :]
+    return jnp.argmin(c2 - 2.0 * dots, axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "chunk"))
+def assign(data: jax.Array, centroids: jax.Array, n_clusters: int = 0,
+           chunk: int = 65536) -> jax.Array:
+    """Nearest-centroid assignment for all rows, chunked to bound memory."""
+    n, d = data.shape
+    c = min(chunk, n)
+    while n % c != 0:
+        c //= 2
+    xs = data.reshape(n // c, c, d)
+    return jax.lax.map(lambda t: _assign_chunk(t, centroids), xs).reshape(n)
+
+
+def _lloyd_step(data_chunks: jax.Array, cents: jax.Array, k: int
+                ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """One full Lloyd iteration. data_chunks: [C, T, D]. Returns
+    (sums [K, D], counts [K], mean squared distance proxy)."""
+
+    def body(carry, chunk):
+        sums, counts, obj = carry
+        a = _assign_chunk(chunk, cents)                       # [T]
+        onehot = jax.nn.one_hot(a, k, dtype=chunk.dtype)      # [T, K]
+        sums = sums + jnp.dot(onehot.T, chunk, preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=0)
+        picked = jnp.take(cents, a, axis=0)
+        obj = obj + jnp.sum((chunk - picked) ** 2)
+        return (sums, counts, obj), None
+
+    k_, d = cents.shape
+    init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32),
+            jnp.float32(0.0))
+    (sums, counts, obj), _ = jax.lax.scan(body, init, data_chunks)
+    return sums, counts, obj
+
+
+def _kmeanspp_init(key: jax.Array, sub: jax.Array, k: int) -> jax.Array:
+    """k-means++ seeding over a subsample: each next seed drawn with probability
+    proportional to its squared distance from the chosen set. O(k * m * D), run
+    on a subsample of m ~ 32k rows so it stays cheap even for nlist=4096."""
+    m, d = sub.shape
+    key0, key_loop = jax.random.split(key)
+    first = jnp.take(sub, jax.random.randint(key0, (), 0, m), axis=0)
+    cents = jnp.zeros((k, d), jnp.float32).at[0].set(first)
+    d2 = jnp.sum((sub - first[None, :]) ** 2, axis=1)
+
+    def body(i, carry):
+        cents, d2, key = carry
+        key, kc = jax.random.split(key)
+        idx = jax.random.categorical(kc, jnp.log(jnp.maximum(d2, 1e-30)))
+        c = jnp.take(sub, idx, axis=0)
+        cents = cents.at[i].set(c)
+        d2 = jnp.minimum(d2, jnp.sum((sub - c[None, :]) ** 2, axis=1))
+        return cents, d2, key
+
+    cents, _, _ = jax.lax.fori_loop(1, k, body, (cents, d2, key_loop))
+    return cents
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "n_iters", "chunk"))
+def kmeans_fit(
+    key: jax.Array,
+    data: jax.Array,          # [N, D] f32 (train subset; see IVF_TRAIN analogue)
+    n_clusters: int,
+    n_iters: int = 10,
+    chunk: int = 16384,
+) -> Tuple[jax.Array, jax.Array]:
+    """Lloyd k-means. Returns (centroids [K, D] f32, objective trace [n_iters])."""
+    n, d = data.shape
+    k = n_clusters
+    c = min(chunk, n)
+    while n % c != 0:
+        c //= 2
+    chunks = data.reshape(n // c, c, d)
+
+    # k-means++ init on a subsample (random init merges nearby clusters)
+    key, k_sub, k_pp = jax.random.split(key, 3)
+    m = min(n, max(32 * k, 4096))
+    sub_idx = jax.random.choice(k_sub, n, shape=(m,), replace=False)
+    sub = jnp.take(data, sub_idx, axis=0).astype(jnp.float32)
+    cents0 = _kmeanspp_init(k_pp, sub, k)
+
+    def iteration(cents, it_key):
+        sums, counts, obj = _lloyd_step(chunks, cents, k)
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        # re-seed empty clusters from random data rows
+        empty = counts < 0.5
+        reseed_idx = jax.random.randint(it_key, (k,), 0, n)
+        reseed = jnp.take(data, reseed_idx, axis=0).astype(jnp.float32)
+        new = jnp.where(empty[:, None], reseed, new)
+        return new, obj / n
+
+    keys = jax.random.split(key, n_iters)
+    cents, objs = jax.lax.scan(iteration, cents0, keys)
+    return cents, objs

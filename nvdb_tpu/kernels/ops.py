@@ -27,8 +27,13 @@ NEG_INF = float("-inf")
 
 
 def _pick_chunk(n_padded: int, row_block: int, target: int) -> int:
-    """Largest chunk that divides n_padded, is a multiple of row_block, and is
-    <= target (falls back to row_block, which always divides)."""
+    """Largest chunk that divides n_padded, is a multiple of gcd(row_block,
+    n_padded), and is <= target. The gcd clamp handles shards smaller than the
+    nominal row_block (e.g. a 512-row shard of a store built with row_block
+    1024)."""
+    import math
+
+    row_block = math.gcd(row_block, n_padded)
     m = n_padded // row_block
     best = 1
     t = 1

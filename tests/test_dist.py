@@ -1,0 +1,95 @@
+"""Multi-device sharded search on the 8-device virtual CPU mesh — the
+"multi-node without a cluster" capability (SURVEY.md §4e)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nvdb_tpu.dist import mesh as meshmod
+from nvdb_tpu.dist.sharded import ShardedFlatIndex, sharded_flat_topk
+from nvdb_tpu.formats import synth, vecbin
+from nvdb_tpu.store import VectorStore
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return meshmod.row_mesh(8)
+
+
+@pytest.fixture(scope="module")
+def data():
+    base = synth.clustered(4000, 64, n_clusters=16, seed=31)
+    queries, _ = synth.sample_queries(base, 16, seed=32, perturb=0.05)
+    return base, queries
+
+
+def _oracle_ids(base, queries, k):
+    s = queries.astype(np.float64) @ base.T.astype(np.float64)
+    return np.argsort(-s, axis=1, kind="stable")[:, :k], s
+
+
+def test_sharded_matches_oracle(mesh8, data):
+    base, queries = data
+    store = VectorStore.from_numpy(
+        base, "f32", row_block=128, sharding=meshmod.row_sharding(mesh8), n_shards=8)
+    assert store.n_padded % 8 == 0
+    idx = ShardedFlatIndex(store, mesh=mesh8, backend="jnp")
+    vals, ids = idx.search(queries, 10)
+    ref_ids, s64 = _oracle_ids(base, queries, 10)
+    got64 = np.take_along_axis(s64, ids.astype(np.int64), axis=1)
+    ref64 = np.take_along_axis(s64, ref_ids, axis=1)
+    np.testing.assert_allclose(got64, ref64, atol=1e-5, rtol=0)
+    assert ids.max() < 4000
+
+
+def test_sharded_matches_single_device(mesh8, data):
+    """Differential: sharded result == single-device result (modulo ties)."""
+    from nvdb_tpu.index.flat import FlatIndex
+
+    base, queries = data
+    sharded_store = VectorStore.from_numpy(
+        base, "f32", row_block=128, sharding=meshmod.row_sharding(mesh8), n_shards=8)
+    single_store = VectorStore.from_numpy(base, "f32", row_block=128)
+    sv, si = ShardedFlatIndex(sharded_store, mesh=mesh8, backend="jnp").search(queries, 10)
+    fv, fi = FlatIndex(single_store, backend="jnp").search(queries, 10)
+    np.testing.assert_allclose(sv, fv, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_i8(mesh8, data):
+    base, queries = data
+    q8, scales = vecbin.quantize_i8(base)
+    store = VectorStore.from_numpy(
+        q8, "i8", scales=scales, row_block=128,
+        sharding=meshmod.row_sharding(mesh8), n_shards=8)
+    idx = ShardedFlatIndex(store, mesh=mesh8, backend="jnp")
+    _, ids = idx.search(queries, 10)
+    deq = vecbin.dequantize_i8(q8, scales)
+    ref_ids, _ = _oracle_ids(deq, queries, 10)
+    hits = sum(len(set(a) & set(b)) for a, b in zip(ids.tolist(), ref_ids.tolist()))
+    assert hits / ref_ids.size >= 0.9
+
+
+def test_store_actually_sharded(mesh8, data):
+    base, _ = data
+    store = VectorStore.from_numpy(
+        base, "f32", row_block=128, sharding=meshmod.row_sharding(mesh8), n_shards=8)
+    shard_shapes = {s.data.shape for s in store.vectors.addressable_shards}
+    assert shard_shapes == {(store.n_padded // 8, store.d_padded)}
+
+
+def test_query_sharded_axis(data):
+    """2-D mesh: 4-way rows x 2-way queries."""
+    base, queries = data
+    mesh = meshmod.row_mesh(4, n_q=2)
+    store = VectorStore.from_numpy(
+        base, "f32", row_block=128,
+        sharding=jax.NamedSharding(mesh, jax.P(meshmod.ROWS, None)), n_shards=4)
+    vals, ids = sharded_flat_topk(
+        mesh, jnp.asarray(store.pad_queries(queries)), store.vectors, None,
+        store.n, 10, backend="jnp", shard_queries=True)
+    ref_ids, s64 = _oracle_ids(base, queries, 10)
+    got64 = np.take_along_axis(s64, np.asarray(ids, dtype=np.int64), axis=1)
+    ref64 = np.take_along_axis(s64, ref_ids, axis=1)
+    np.testing.assert_allclose(got64, ref64, atol=1e-5, rtol=0)
