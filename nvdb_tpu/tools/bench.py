@@ -1,0 +1,87 @@
+"""The flat-scan benchmark harness — the nvdb_bench analogue (apps/nvdb_bench.cpp).
+
+CLI shape mirrors the reference's ``base query k [mode] [threads] [warmup]
+[batch_q] ...`` (nvdb_bench.cpp:256-271) as flags. The reference's st/omp/
+async/pool scheduling modes collapse into the kernel backend; its ``threads``
+knob becomes ``--shards`` (device count of the row mesh).
+
+Reports Total / Avg / QPS / p50 / p95 / p99 (batch-level when batching),
+bytes_per_query and payload_equiv_bandwidth_GBps (nvdb_bench.cpp:369-425),
+recall@k against a gtbin file, and a machine-parsable RESULT line.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nvdb_tpu.formats import gtbin, vecbin
+from nvdb_tpu.eval.harness import run_benchmark
+from nvdb_tpu.eval.recall import recall_at_k
+from nvdb_tpu.eval.stats import result_line
+from nvdb_tpu.tools._common import make_parser, setup_jax
+
+
+def main(argv=None):
+    p = make_parser(__doc__)
+    p.add_argument("base")
+    p.add_argument("query")
+    p.add_argument("k", type=int)
+    p.add_argument("--batch-q", type=int, default=1)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--shards", type=int, default=1,
+                   help=">1: row-shard the store over this many devices")
+    p.add_argument("--gt", default=None, help="gtbin file for recall@k")
+    args = p.parse_args(argv)
+    setup_jax(args)
+
+    import jax
+
+    from nvdb_tpu.index.flat import FlatIndex
+    from nvdb_tpu.store import VectorStore
+
+    qf = vecbin.VecbinFile(args.query)
+    queries = qf.rows_f32()
+
+    if args.shards > 1:
+        from nvdb_tpu.dist import mesh as meshmod
+        from nvdb_tpu.dist.sharded import ShardedFlatIndex
+
+        mesh = meshmod.row_mesh(args.shards)
+        store = VectorStore.from_vecbin(
+            args.base, sharding=meshmod.row_sharding(mesh), n_shards=args.shards)
+        index = ShardedFlatIndex(store, mesh=mesh, backend=args.backend)
+    else:
+        store = VectorStore.from_vecbin(args.base)
+        index = FlatIndex(store, backend=args.backend)
+
+    print(f"N={store.n} dim={store.d} dtype={vecbin.dtype_name(store.dtype_code)} "
+          f"Q={qf.count} k={args.k} backend={args.backend} "
+          f"device={jax.default_backend()} shards={args.shards}")
+
+    ids, stats = run_benchmark(
+        index.search, queries, args.k, batch_q=args.batch_q,
+        warmup=args.warmup, bytes_per_query=store.payload_bytes)
+    print(stats.render())
+
+    recall = None
+    if args.gt:
+        info, gt_ids = gtbin.read_gtbin(args.gt)
+        if info.Q != qf.count or info.k < args.k:
+            raise SystemExit(f"GT shape mismatch: {info} vs Q={qf.count} k={args.k}")
+        recall = recall_at_k(ids, np.asarray(gt_ids), k=args.k)
+        print(f"recall@{args.k}={recall:.4f}")
+
+    kv = dict(mode="flat", backend=args.backend, shards=args.shards,
+              N=store.n, dim=store.d, dtype=vecbin.dtype_name(store.dtype_code),
+              Q=qf.count, k=args.k, batch_q=args.batch_q,
+              avg_ms=stats.avg_ms, qps=stats.qps,
+              p50_ms=stats.p50_ms, p95_ms=stats.p95_ms, p99_ms=stats.p99_ms,
+              bytes_per_query=int(stats.bytes_per_query),
+              bandwidth_gbps=stats.bandwidth_gbps)
+    if recall is not None:
+        kv["recall"] = recall
+    print(result_line(**kv))
+
+
+if __name__ == "__main__":
+    main()

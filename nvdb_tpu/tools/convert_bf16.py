@@ -1,0 +1,27 @@
+"""FP32 vecbin -> BF16 vecbin (round-to-nearest-even) — the TPU-native
+replacement for the reference's f32->f16 converter
+(tools/nvdb_convert_f16.cpp:20-119; bf16 is the MXU-native half type)."""
+
+from __future__ import annotations
+
+from nvdb_tpu.formats import vecbin
+from nvdb_tpu.tools._common import make_parser
+
+
+def main(argv=None):
+    p = make_parser(__doc__)
+    p.add_argument("src")
+    p.add_argument("out")
+    args = p.parse_args(argv)
+
+    f = vecbin.VecbinFile(args.src)
+    chunk = 262144
+    with vecbin.StreamingVecbinWriter(args.out, f.dim, "bf16") as w:
+        for s in range(0, f.count, chunk):
+            w.append(vecbin.to_bf16(f.rows_f32(s, min(s + chunk, f.count))))
+    out = vecbin.VecbinFile(args.out)
+    print(f"wrote {out.count} x {out.dim} bf16 -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

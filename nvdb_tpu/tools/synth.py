@@ -1,0 +1,52 @@
+"""Generate a synthetic L2-normalized vecbin dataset (benchmarking stand-in for
+the arXiv embedding pipeline, scripts/build_vecbin_chunked.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nvdb_tpu.formats import synth, vecbin
+from nvdb_tpu.tools._common import make_parser
+
+
+def main(argv=None):
+    p = make_parser(__doc__)
+    p.add_argument("out")
+    p.add_argument("--count", type=int, required=True)
+    p.add_argument("--dim", type=int, required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--clusters", type=int, default=0,
+                   help="0 = iid gaussian; else mixture-of-gaussians")
+    p.add_argument("--spread", type=float, default=0.25)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "i8"])
+    p.add_argument("--raw12", action="store_true", help="legacy raw12 header")
+    args = p.parse_args(argv)
+
+    chunk = 262144
+    with vecbin.StreamingVecbinWriter(args.out, args.dim, args.dtype) as w:
+        done = 0
+        while done < args.count:
+            n = min(chunk, args.count - done)
+            if args.clusters > 0:
+                rows = synth.clustered(n, args.dim, args.clusters, args.spread,
+                                       seed=args.seed + done)
+            else:
+                rows = synth.normalized_gaussian(n, args.dim, seed=args.seed + done)
+            if args.dtype == "i8":
+                q, s = vecbin.quantize_i8(rows)
+                w.append(q, s)
+            elif args.dtype == "bf16":
+                w.append(vecbin.to_bf16(rows))
+            else:
+                w.append(rows)
+            done += n
+    info = vecbin.VecbinFile(args.out).info
+    print(f"wrote {info.count} x {info.dim} {info.dtype_str} -> {args.out}")
+    if args.raw12:
+        f = vecbin.VecbinFile(args.out)
+        vecbin.write_vecbin(args.out, np.asarray(f.vectors), legacy_raw12=True)
+        print("rewrote as raw12")
+
+
+if __name__ == "__main__":
+    main()
