@@ -1,0 +1,92 @@
+"""IVF-Flat: recall gates vs exact GT on seeded clustered data (SURVEY.md §4d)."""
+
+import numpy as np
+import pytest
+
+from nvdb_tpu.formats import synth
+from nvdb_tpu.index.ivf_flat import IVFFlatIndex
+
+
+@pytest.fixture(scope="module")
+def data():
+    base = synth.clustered(20000, 64, n_clusters=64, spread=0.35, seed=51)
+    queries, _ = synth.sample_queries(base, 32, seed=52, perturb=0.05)
+    s = queries.astype(np.float64) @ base.T.astype(np.float64)
+    gt = np.argsort(-s, axis=1)[:, :10]
+    return base, queries, gt
+
+
+def _recall(ids, gt):
+    return sum(len(set(a) & set(b)) for a, b in
+               zip(ids.tolist(), gt.tolist())) / gt.size
+
+
+@pytest.fixture(scope="module")
+def index(data):
+    base, _, _ = data
+    return IVFFlatIndex.build(base, nlist=64, dtype="f32", n_iters=8, seed=1)
+
+
+def test_ivf_build_invariants(index, data):
+    base, _, _ = data
+    # every row present exactly once across lists
+    sids = np.asarray(index.slot_ids)
+    real = sids[sids >= 0]
+    assert len(real) == 20000 and len(np.unique(real)) == 20000
+    # packed payload matches original rows
+    nz = np.argwhere(sids >= 0)
+    packed = np.asarray(index.packed)
+    for li, si in nz[:50]:
+        np.testing.assert_allclose(packed[li, si, :64], base[sids[li, si]],
+                                   atol=1e-6)
+    # spills should be rare with pad_factor 1.5 on clustered data
+    assert index.n_spilled < 2000
+
+
+def test_ivf_recall_increases_with_nprobe(index, data):
+    base, queries, gt = data
+    recalls = []
+    for nprobe in (1, 4, 16, 64):
+        _, ids = index.search(queries, 10, nprobe)
+        recalls.append(_recall(ids, gt))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] >= 0.999   # full probe == exact (modulo f32 ties)
+    assert recalls[2] >= 0.65     # nprobe=16/64 on heavily-overlapping clusters
+
+
+def test_ivf_full_probe_equals_flat(index, data):
+    """nprobe == nlist must reproduce the exact flat scan."""
+    base, queries, gt = data
+    _, ids = index.search(queries, 10, nprobe=64)
+    assert _recall(ids, gt) >= 0.999
+
+
+def test_ivf_i8(data):
+    base, queries, gt = data
+    idx = IVFFlatIndex.build(base, nlist=64, dtype="i8", n_iters=8, seed=1)
+    _, ids = idx.search(queries, 10, nprobe=64)
+    assert _recall(ids, gt) >= 0.9
+
+
+def test_ivf_bf16(data):
+    base, queries, gt = data
+    idx = IVFFlatIndex.build(base, nlist=64, dtype="bf16", n_iters=8, seed=1)
+    _, ids = idx.search(queries, 10, nprobe=64)
+    assert _recall(ids, gt) >= 0.9
+
+
+def test_ivf_save_load_roundtrip(index, data, tmp_path):
+    base, queries, _ = data
+    p = str(tmp_path / "ivf.npz")
+    index.save(p)
+    loaded = IVFFlatIndex.load(p)
+    v1, i1 = index.search(queries[:8], 10, 16)
+    v2, i2 = loaded.search(queries[:8], 10, 16)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+
+
+def test_ivf_no_padding_ids(index, data):
+    _, queries, _ = data
+    _, ids = index.search(queries, 10, 4)
+    assert ids.min() >= 0 and ids.max() < 20000
