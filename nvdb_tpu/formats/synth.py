@@ -34,6 +34,24 @@ def clustered(count: int, dim: int, n_clusters: int = 64, spread: float = 0.25,
     return x.astype(dtype)
 
 
+def low_rank(count: int, dim: int, intrinsic: int = 32, n_clusters: int = 64,
+             spread: float = 0.3, noise: float = 0.02, seed: int = 0,
+             dtype=np.float32) -> np.ndarray:
+    """Low-intrinsic-dimension embeddings: clustered points in an ``intrinsic``-
+    dim latent space mapped through a random orthonormal [dim, intrinsic] basis
+    plus small ambient noise, L2-normalized. Real text embeddings (e.g. the
+    reference's MiniLM corpus) concentrate on such low-dim manifolds — this is
+    the realistic regime for PQ/OPQ compression tests."""
+    rng = np.random.default_rng(seed)
+    basis, _ = np.linalg.qr(rng.standard_normal((dim, intrinsic)))
+    z = clustered(count, intrinsic, n_clusters=n_clusters, spread=spread,
+                  seed=seed + 1)
+    x = z @ basis.T.astype(np.float32)
+    x += noise * rng.standard_normal((count, dim)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(dtype)
+
+
 def sample_queries(base: np.ndarray, q: int, seed: int = 0,
                    perturb: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
     """Sample ``q`` unique base rows as queries (optionally perturbed), the

@@ -1,0 +1,253 @@
+"""IVF-PQ / IVF-OPQ-PQ index with optional exact refine.
+
+TPU-native replacement for FAISS ``IndexIVFPQ`` (+ ``OPQMatrix`` /
+``IndexPreTransform``, nvdb_ivfpq_build.cpp:78-96) and the two-stage
+ANN + exact-rerank pipeline of nvdb_ivf_eval.cpp:478-634 / cuda_refine.cu —
+except the whole pipeline (coarse probe -> ADC scan -> candidate top-R ->
+exact rerank) is ONE on-device program: no H2D/D2H staging, the refine
+candidates are gathered straight from the HBM-resident flat store.
+
+Layout mirrors IVFFlatIndex: fixed-capacity packed lists, payload = PQ codes
+``[nlist, Lcap, M]`` uint8. All geometry lives in OPQ-rotated space; queries
+are rotated once at search time. Codes encode rotated residuals w.r.t. the
+list each row is PACKED in (spilled rows encode vs their actual list, so ADC
+stays consistent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nvdb_tpu.index.ivf_flat import _pack_lists, _topS_centroids
+from nvdb_tpu.kernels import kmeans, ops, pq
+from nvdb_tpu.utils import round_up
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "m"))
+def _ivfpq_search_block(
+    q_rot: jax.Array,         # [B, Dp] rotated queries
+    centroids: jax.Array,     # [nlist, Dp]
+    codebooks: jax.Array,     # [M, 256, dsub]
+    codes: jax.Array,         # [nlist, Lcap, M] uint8
+    slot_ids: jax.Array,      # [nlist, Lcap] int32
+    k: int,
+    nprobe: int,
+    m: int,
+) -> Tuple[jax.Array, jax.Array]:
+    B = q_rot.shape[0]
+    qc = jnp.dot(q_rot, centroids.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
+    _, probes = jax.lax.top_k(2.0 * qc - c2, nprobe)             # [B, P]
+
+    cents_p = jnp.take(centroids, probes, axis=0)                # [B, P, Dp]
+    residuals = q_rot[:, None, :] - cents_p                      # [B, P, Dp]
+    lut = pq.adc_lut(residuals.reshape(B * nprobe, -1), codebooks, m)
+    lut = lut.reshape(B, nprobe, m, pq.KSUB)                     # [B, P, M, 256]
+
+    code_slab = jnp.take(codes, probes, axis=0)                  # [B, P, L, M]
+    sids = jnp.take(slot_ids, probes, axis=0)                    # [B, P, L]
+    scores = pq.adc_scores(lut, code_slab)                       # [B, P, L] (-L2)
+    scores = jnp.where(sids >= 0, scores, -jnp.inf)
+    vals, idx = jax.lax.top_k(scores.reshape(B, -1), k)
+    ids = jnp.take_along_axis(sids.reshape(B, -1), idx, axis=1)
+    return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _refine_block(
+    queries: jax.Array,       # [B, Dp] UN-rotated queries
+    cand_ids: jax.Array,      # [B, R] int32 (-1 padded)
+    vectors: jax.Array,       # [Np, Dp] flat store payload
+    scales,                   # [Np] | None
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact L2 rerank of ADC candidates against the full-precision store —
+    the cuda_l2_topk_batch role (cuda_refine.cu:839-1175), fused on-device."""
+    safe = jnp.maximum(cand_ids, 0)
+    rows = jnp.take(vectors, safe, axis=0).astype(jnp.float32)   # [B, R, Dp]
+    if scales is not None:
+        rows = rows * jnp.take(scales, safe, axis=0)[:, :, None]
+    return ops.exact_rerank(queries, rows, cand_ids, k, metric="l2")
+
+
+@dataclasses.dataclass
+class IVFPQIndex:
+    rotation: Optional[jax.Array]     # [Dp, Dp] f32 (OPQ) or None
+    centroids: jax.Array              # [nlist, Dp] f32 (rotated space)
+    codebooks: jax.Array              # [M, 256, dsub] f32
+    codes: jax.Array                  # [nlist, Lcap, M] uint8
+    slot_ids: jax.Array               # [nlist, Lcap] int32
+    n: int
+    d: int
+    m: int
+    n_spilled: int = 0
+
+    @property
+    def nlist(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def lcap(self) -> int:
+        return self.codes.shape[1]
+
+    @property
+    def index_bytes(self) -> int:
+        b = self.codes.size + self.slot_ids.size * 4
+        b += self.centroids.size * 4 + self.codebooks.size * 4
+        if self.rotation is not None:
+            b += self.rotation.size * 4
+        return b
+
+    # -- build -----------------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        rows_f32: np.ndarray,
+        nlist: int,
+        m: int = 64,                   # PQ_M analogue (must divide Dp)
+        use_opq: bool = True,          # USE_OPQ
+        train_size: int = 50_000,      # IVF_TRAIN
+        n_iters: int = 10,
+        opq_iters: int = 4,            # OPQ_NITER
+        pad_factor: float = 1.5,
+        spill_candidates: int = 4,
+        seed: int = 0,
+    ) -> "IVFPQIndex":
+        n, d = rows_f32.shape
+        dp = round_up(d, 128)
+        assert dp % m == 0, f"m={m} must divide padded dim {dp}"
+        key = jax.random.PRNGKey(seed)
+
+        data_p = np.zeros((n, dp), np.float32)
+        data_p[:, :d] = rows_f32
+        t = min(train_size, n)
+
+        # OPQ rotation trained on raw training rows (the OPQMatrix pretransform)
+        rot = None
+        if use_opq:
+            key, ko = jax.random.split(key)
+            rot_np, _ = pq.train_opq(ko, data_p[:t], m, n_opq_iters=opq_iters)
+            rot = jnp.asarray(rot_np)
+            data_rot = np.asarray(jnp.asarray(data_p) @ rot)
+        else:
+            data_rot = data_p
+
+        # coarse quantizer in rotated space
+        key, kc = jax.random.split(key)
+        cents, _ = kmeans.kmeans_fit(kc, jnp.asarray(data_rot[:t]), nlist,
+                                     n_iters=n_iters)
+
+        S = min(spill_candidates, nlist)
+        alts = np.asarray(_topS_centroids(jnp.asarray(data_rot), cents, S))
+        lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 8)
+
+        # pack ROW IDS first (codes depend on the packed list's centroid)
+        dummy = np.zeros((n, 1), np.float32)
+        _, slot_ids, _, spilled = _pack_lists(
+            dummy, None, alts[:, 0], None, alts, nlist, lcap, 1)
+
+        # residuals vs the packed list's centroid, then PQ codebooks + encode
+        cents_np = np.asarray(cents)
+        list_of = np.empty(n, np.int64)
+        li, si = np.nonzero(slot_ids >= 0)
+        list_of[slot_ids[li, si]] = li
+        residuals = data_rot - cents_np[list_of]
+
+        key, kb = jax.random.split(key)
+        cb = pq.train_codebooks(kb, jnp.asarray(residuals[:t]), m, n_iters=6)
+
+        codes_rows = np.asarray(_encode_chunked(jnp.asarray(residuals), cb, m))
+        codes = np.zeros((nlist, lcap, m), np.uint8)
+        codes[li, si] = codes_rows[slot_ids[li, si]]
+
+        return cls(rotation=rot, centroids=cents, codebooks=cb,
+                   codes=jnp.asarray(codes), slot_ids=jnp.asarray(slot_ids),
+                   n=n, d=d, m=m, n_spilled=spilled)
+
+    # -- search ----------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        nprobe: int,
+        refine_k: int = 0,             # REFINE_K analogue; 0 = ADC ranking only
+        refine_store=None,             # VectorStore with original vectors
+        q_chunk: int = 8,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        qn = queries.shape[0]
+        dp = self.centroids.shape[1]
+        qp = np.zeros((qn, dp), np.float32)
+        qp[:, : self.d] = queries[:, : self.d]
+        nprobe = min(nprobe, self.nlist)
+        kk = max(k, refine_k)
+
+        vals_out = np.empty((qn, k), np.float32)
+        ids_out = np.empty((qn, k), np.int64)
+        for s in range(0, qn, q_chunk):
+            e = min(s + q_chunk, qn)
+            b = e - s
+            bp = 8
+            while bp < b:
+                bp *= 2
+            block = np.zeros((bp, dp), np.float32)
+            block[:b] = qp[s:e]
+            qj = jnp.asarray(block)
+            q_rot = qj @ self.rotation if self.rotation is not None else qj
+            v, i = _ivfpq_search_block(
+                q_rot, self.centroids, self.codebooks, self.codes,
+                self.slot_ids, kk, nprobe, self.m)
+            if refine_k > 0:
+                if refine_store is None:
+                    raise ValueError("refine_k > 0 requires refine_store")
+                v, i = _refine_block(qj, i[:, :refine_k],
+                                     refine_store.vectors, refine_store.scales, k)
+            vals_out[s:e] = np.asarray(v)[:b, :k]
+            ids_out[s:e] = np.asarray(i)[:b, :k]
+        return vals_out, ids_out
+
+    # -- persistence -----------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            rotation=(np.asarray(self.rotation)
+                      if self.rotation is not None else np.zeros(0, np.float32)),
+            centroids=np.asarray(self.centroids),
+            codebooks=np.asarray(self.codebooks),
+            codes=np.asarray(self.codes),
+            slot_ids=np.asarray(self.slot_ids),
+            meta=np.array([self.n, self.d, self.m, self.n_spilled], np.int64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "IVFPQIndex":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        rot = z["rotation"]
+        n, d, m, spilled = (int(x) for x in z["meta"])
+        return cls(
+            rotation=jnp.asarray(rot) if rot.size else None,
+            centroids=jnp.asarray(z["centroids"]),
+            codebooks=jnp.asarray(z["codebooks"]),
+            codes=jnp.asarray(z["codes"]),
+            slot_ids=jnp.asarray(z["slot_ids"]),
+            n=n, d=d, m=m, n_spilled=spilled)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _encode_chunked(residuals: jax.Array, codebooks: jax.Array, m: int) -> jax.Array:
+    n = residuals.shape[0]
+    c = min(65536, n)
+    while n % c != 0:
+        c //= 2
+    chunks = residuals.reshape(n // c, c, -1)
+    return jax.lax.map(lambda ch: pq.encode(ch, codebooks, m), chunks).reshape(n, m)

@@ -1,0 +1,111 @@
+"""PQ / OPQ / IVF-PQ(+refine): reconstruction and recall-ladder gates matching
+the reference's observed shape (PQ < OPQ-PQ < +refine, Performance.md:619-625)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nvdb_tpu.formats import synth
+from nvdb_tpu.index.ivf_pq import IVFPQIndex
+from nvdb_tpu.kernels import pq
+from nvdb_tpu.store import VectorStore
+
+
+@pytest.fixture(scope="module")
+def data():
+    # low intrinsic dimension = the realistic regime for PQ (real embeddings
+    # concentrate on low-dim manifolds; isotropic Gaussian is PQ's worst case)
+    base = synth.low_rank(12000, 128, intrinsic=24, n_clusters=48, seed=61)
+    queries, _ = synth.sample_queries(base, 24, seed=62, perturb=0.05)
+    s = queries.astype(np.float64) @ base.T.astype(np.float64)
+    gt = np.argsort(-s, axis=1)[:, :10]
+    return base, queries, gt
+
+
+def _recall(ids, gt):
+    return sum(len(set(a) & set(b)) for a, b in
+               zip(ids.tolist(), gt.tolist())) / gt.size
+
+
+def test_pq_roundtrip_reduces_error(data):
+    base, _, _ = data
+    x = jnp.asarray(base[:2048])
+    cb = pq.train_codebooks(jax.random.PRNGKey(0), x, m=16, n_iters=6)
+    codes = pq.encode(x, cb, 16)
+    assert codes.shape == (2048, 16) and codes.dtype == jnp.uint8
+    rec = pq.decode(codes, cb, 16)
+    err = float(jnp.mean(jnp.sum((x - rec) ** 2, axis=1)))
+    base_err = float(jnp.mean(jnp.sum(x ** 2, axis=1)))  # vs zero reconstruction
+    assert err < 0.35 * base_err
+
+
+def test_adc_matches_explicit_l2(data):
+    """ADC score via LUT must equal -||res - decode(code)||^2 exactly."""
+    base, queries, _ = data
+    x = jnp.asarray(base[:512])
+    cb = pq.train_codebooks(jax.random.PRNGKey(1), x, m=8, n_iters=4)
+    codes = pq.encode(x, cb, 8)
+    q = jnp.asarray(queries[:4])
+    lut = pq.adc_lut(q, cb, 8)                       # [4, 8, 256]
+    scores = pq.adc_scores(lut[:, None], codes[None].repeat(4, 0)[:, None])
+    rec = pq.decode(codes, cb, 8)
+    explicit = -jnp.sum((q[:, None, :] - rec[None, :, :]) ** 2, axis=-1)
+    np.testing.assert_allclose(np.asarray(scores[:, 0]), np.asarray(explicit),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_opq_rotation_orthogonal(data):
+    base, _, _ = data
+    r, cb = pq.train_opq(jax.random.PRNGKey(2), base[:2048], m=16,
+                         n_opq_iters=2, n_kmeans_iters=4)
+    np.testing.assert_allclose(r @ r.T, np.eye(128), atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def pq_index(data):
+    base, _, _ = data
+    return IVFPQIndex.build(base, nlist=32, m=16, use_opq=False, n_iters=6,
+                            opq_iters=2, seed=2)
+
+
+def test_ivfpq_recall_ladder(data, pq_index):
+    """ADC-only < ADC+refine; refine recovers near-exact recall
+    (the reference's refine threshold effect, Performance.md:656-657)."""
+    base, queries, gt = data
+    store = VectorStore.from_numpy(base, "f32", row_block=256)
+    _, ids_adc = pq_index.search(queries, 10, nprobe=32)
+    r_adc = _recall(ids_adc, gt)
+    _, ids_ref = pq_index.search(queries, 10, nprobe=32, refine_k=50,
+                                 refine_store=store)
+    r_ref = _recall(ids_ref, gt)
+    assert r_adc >= 0.5          # raw ADC is lossy but far above chance
+    assert r_ref > r_adc         # refine must improve
+    assert r_ref >= 0.95         # near-exact after rerank (reference: .974@R=50)
+
+
+def test_ivfpq_opq_beats_plain_pq(data):
+    base, queries, gt = data
+    plain = IVFPQIndex.build(base, nlist=32, m=16, use_opq=False, n_iters=6, seed=3)
+    opq = IVFPQIndex.build(base, nlist=32, m=16, use_opq=True, n_iters=6,
+                           opq_iters=3, seed=3)
+    _, ids_p = plain.search(queries, 10, nprobe=32)
+    _, ids_o = opq.search(queries, 10, nprobe=32)
+    # OPQ should not hurt, usually helps (tolerate small noise either way)
+    assert _recall(ids_o, gt) >= _recall(ids_p, gt) - 0.03
+
+
+def test_ivfpq_save_load(pq_index, data, tmp_path):
+    _, queries, _ = data
+    p = str(tmp_path / "ivfpq.npz")
+    pq_index.save(p)
+    loaded = IVFPQIndex.load(p)
+    v1, i1 = pq_index.search(queries[:8], 10, 8)
+    v2, i2 = loaded.search(queries[:8], 10, 8)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_ivfpq_index_is_compressed(pq_index):
+    # codes ~ N * (M + 4(ids)) bytes; must be far below raw f32 size
+    raw_bytes = 12000 * 128 * 4
+    assert pq_index.index_bytes < raw_bytes
