@@ -1,0 +1,106 @@
+"""Partition-then-rerank index — the TPU-native replacement for hnswlib's HNSW
+graph (nvdb_hnsw_build.cpp / nvdb_hnsw_search.cpp / nvdb_hnsw_eval.cpp).
+
+Graph traversal is hostile to TPUs (pointer chasing, dynamic shapes); the
+TPU-shaped equivalent at the same recall/memory point is a balanced partition
+index probed with batched matmuls:
+
+- partitions = k-means over the corpus (nlist ~ sqrt-ish of N), packed with the
+  same fixed-capacity layout as IVF-Flat;
+- a query probes the ``nprobe`` nearest partitions (the efSearch-analogue
+  accuracy knob, env HNSW_EF_SEARCH) with exact bf16 scoring on the MXU;
+- an optional exact f32 rerank of the top candidates removes bf16 near-tie
+  noise.
+
+Memory: packed bf16 payload ~= 2 * pad_factor * N * D bytes — well under
+hnswlib's f32-vectors + graph (e.g. 789-834 MB for 500K x 384,
+Performance.md:484-492).
+
+``tune_nprobe`` picks the smallest nprobe hitting a target recall on a
+validation split — the analogue of sweeping efSearch (Performance.md:450-470).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from nvdb_tpu.index.ivf_flat import IVFFlatIndex
+from nvdb_tpu.kernels import ops
+from nvdb_tpu.store import VectorStore
+from nvdb_tpu.eval.recall import recall_at_k
+
+
+@dataclasses.dataclass
+class PartitionRerankIndex:
+    ivf: IVFFlatIndex
+    refine_store: Optional[VectorStore]   # f32/bf16 exact store for rerank
+
+    @property
+    def n(self) -> int:
+        return self.ivf.n
+
+    @property
+    def index_bytes(self) -> int:
+        """Self-contained search structure size (packed bf16 payload + ids +
+        centroids). The optional f32 refine store is NOT counted, following the
+        reference's accounting: its PQ+refine pipeline reports 41-42 MB index
+        size while reranking from the separately-mmap'd base
+        (Performance.md:619-625, nvdb_ivf_eval.cpp:278-307)."""
+        return self.ivf.index_bytes
+
+    @classmethod
+    def build(
+        cls,
+        rows_f32: np.ndarray,
+        nlist: Optional[int] = None,
+        dtype: str = "bf16",
+        with_refine: bool = True,
+        train_size: int = 100_000,
+        n_iters: int = 10,
+        seed: int = 0,
+    ) -> "PartitionRerankIndex":
+        n = rows_f32.shape[0]
+        if nlist is None:
+            # sqrt-scaled partition count, clamped to sane bounds
+            nlist = int(np.clip(2 ** int(np.round(np.log2(np.sqrt(n) * 2))),
+                                16, 8192))
+        ivf = IVFFlatIndex.build(rows_f32, nlist=nlist, dtype=dtype,
+                                 train_size=train_size, n_iters=n_iters,
+                                 seed=seed)
+        store = VectorStore.from_numpy(rows_f32, "f32") if with_refine else None
+        return cls(ivf=ivf, refine_store=store)
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int,
+               rerank_k: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        """rerank_k > 0: take top-rerank_k bf16 candidates, exact-rerank in f32
+        (dot metric, matching the GT convention)."""
+        if rerank_k <= k:
+            return self.ivf.search(queries, k, nprobe)
+        vals, ids = self.ivf.search(queries, rerank_k, nprobe)
+        import jax.numpy as jnp
+
+        store = self.refine_store
+        if store is None:
+            return vals[:, :k], ids[:, :k]
+        q = jnp.asarray(store.pad_queries(np.atleast_2d(queries)))
+        cid = jnp.asarray(ids, dtype=jnp.int32)
+        rows = jnp.take(store.vectors, jnp.maximum(cid, 0), axis=0)
+        rv, ri = ops.exact_rerank(q, rows.astype(jnp.float32), cid, k,
+                                  metric="dot")
+        return np.asarray(rv), np.asarray(ri)
+
+    def tune_nprobe(self, queries_val: np.ndarray, gt_val: np.ndarray, k: int,
+                    target_recall: float = 0.98,
+                    candidates=(1, 2, 4, 8, 16, 32, 64, 128, 256)) -> int:
+        """Smallest nprobe whose recall on the validation set reaches the
+        target (efSearch-knee analogue, Performance.md:450-470)."""
+        for np_ in candidates:
+            if np_ > self.ivf.nlist:
+                break
+            _, ids = self.search(queries_val, k, np_)
+            if recall_at_k(ids, gt_val, k=k) >= target_recall:
+                return np_
+        return min(self.ivf.nlist, candidates[-1])

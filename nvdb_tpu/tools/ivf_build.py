@@ -1,0 +1,58 @@
+"""Build an IVF-Flat or IVF-(O)PQ index from a vecbin base — the nvdb_ivf_build /
+nvdb_ivfpq_build analogue (apps/nvdb_ivf_build.cpp, apps/nvdb_ivfpq_build.cpp).
+
+Knobs keep the reference's env-var names in spirit: --nlist (IVF_NLIST),
+--train (IVF_TRAIN), --pq-m (PQ_M), --opq/--no-opq (USE_OPQ), --opq-iters
+(OPQ_NITER)."""
+
+from __future__ import annotations
+
+import time
+
+from nvdb_tpu.formats import vecbin
+from nvdb_tpu.tools._common import make_parser, setup_jax
+
+
+def main(argv=None):
+    p = make_parser(__doc__)
+    p.add_argument("base")
+    p.add_argument("out", help="output index path (.npz)")
+    p.add_argument("--kind", default="ivfflat", choices=["ivfflat", "ivfpq"])
+    p.add_argument("--nlist", type=int, default=1024)
+    p.add_argument("--train", type=int, default=50000)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "i8"],
+                   help="packed payload dtype (ivfflat only)")
+    p.add_argument("--pq-m", type=int, default=48)
+    p.add_argument("--opq", dest="opq", action="store_true", default=True)
+    p.add_argument("--no-opq", dest="opq", action="store_false")
+    p.add_argument("--opq-iters", type=int, default=4)
+    p.add_argument("--pad-factor", type=float, default=1.5)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    setup_jax(args)
+
+    from nvdb_tpu.index.ivf_flat import IVFFlatIndex
+    from nvdb_tpu.index.ivf_pq import IVFPQIndex
+
+    f = vecbin.VecbinFile(args.base)
+    rows = f.rows_f32()
+    t0 = time.perf_counter()
+    if args.kind == "ivfflat":
+        idx = IVFFlatIndex.build(
+            rows, nlist=args.nlist, dtype=args.dtype, train_size=args.train,
+            n_iters=args.iters, pad_factor=args.pad_factor, seed=args.seed)
+    else:
+        idx = IVFPQIndex.build(
+            rows, nlist=args.nlist, m=args.pq_m, use_opq=args.opq,
+            train_size=args.train, n_iters=args.iters, opq_iters=args.opq_iters,
+            pad_factor=args.pad_factor, seed=args.seed)
+    dt = time.perf_counter() - t0
+    idx.save(args.out)
+    print(f"built {args.kind} nlist={args.nlist} over N={f.count} in {dt:.2f}s; "
+          f"index_bytes={idx.index_bytes} ({idx.index_bytes/1e6:.1f} MB) "
+          f"spilled={idx.n_spilled} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

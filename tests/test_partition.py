@@ -1,0 +1,58 @@
+"""Partition-then-rerank: the HNSW-parity recall target on realistic data."""
+
+import numpy as np
+import pytest
+
+from nvdb_tpu.formats import synth
+from nvdb_tpu.index.partition import PartitionRerankIndex
+from nvdb_tpu.eval.recall import recall_at_k
+
+
+@pytest.fixture(scope="module")
+def data():
+    base = synth.low_rank(16000, 128, intrinsic=24, n_clusters=64, seed=71)
+    queries, _ = synth.sample_queries(base, 32, seed=72, perturb=0.05)
+    s = queries.astype(np.float64) @ base.T.astype(np.float64)
+    gt = np.argsort(-s, axis=1)[:, :10]
+    return base, queries, gt
+
+
+@pytest.fixture(scope="module")
+def index(data):
+    base, _, _ = data
+    return PartitionRerankIndex.build(base, dtype="bf16", n_iters=8, seed=3)
+
+
+def test_hnsw_parity_recall(index, data):
+    """The reference's HNSW knee: recall ~.98 at efSearch=64
+    (Performance.md:450-466). Our equivalent knob is nprobe."""
+    base, queries, gt = data
+    np_ = index.tune_nprobe(queries, gt, 10, target_recall=0.98)
+    _, ids = index.search(queries, 10, np_, rerank_k=50)
+    assert recall_at_k(ids, gt) >= 0.98
+    assert np_ < index.ivf.nlist  # must not degenerate to a full scan
+
+
+def test_memory_below_hnsw_equivalent(index, data):
+    """hnswlib at M=16 embeds f32 vectors + ~2*M*4 bytes of links per row; our
+    self-contained bf16 packed structure must stay below that (refine store is
+    shared deployment state, like the reference's mmap'd base for refine)."""
+    base, _, _ = data
+    hnsw_bytes = base.shape[0] * (base.shape[1] * 4 + 2 * 16 * 4)
+    assert index.index_bytes <= hnsw_bytes
+    # and the bf16 packed payload alone is ~half the hnsw vector storage
+    assert index.ivf.index_bytes < base.shape[0] * base.shape[1] * 4
+
+
+def test_rerank_improves_bf16(data):
+    base, queries, gt = data
+    idx = PartitionRerankIndex.build(base, dtype="bf16", n_iters=8, seed=3)
+    _, plain = idx.search(queries, 10, 32)
+    _, rr = idx.search(queries, 10, 32, rerank_k=50)
+    assert recall_at_k(rr, gt) >= recall_at_k(plain, gt)
+
+
+def test_auto_nlist_scales(data):
+    base, _, _ = data
+    idx = PartitionRerankIndex.build(base[:4000], with_refine=False, n_iters=4)
+    assert 16 <= idx.ivf.nlist <= 8192
