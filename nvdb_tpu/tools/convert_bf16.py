@@ -14,11 +14,14 @@ def main(argv=None):
     p.add_argument("out")
     args = p.parse_args(argv)
 
+    from nvdb_tpu import native
+
     f = vecbin.VecbinFile(args.src)
     chunk = 262144
     with vecbin.StreamingVecbinWriter(args.out, f.dim, "bf16") as w:
         for s in range(0, f.count, chunk):
-            w.append(vecbin.to_bf16(f.rows_f32(s, min(s + chunk, f.count))))
+            rows = f.rows_f32(s, min(s + chunk, f.count))
+            w.append(native.convert_f32_to_bf16(rows))  # threaded C++ path
     out = vecbin.VecbinFile(args.out)
     print(f"wrote {out.count} x {out.dim} bf16 -> {args.out}")
 

@@ -16,18 +16,27 @@ def main(argv=None):
     p.add_argument("out")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--host", action="store_true",
+                   help="build GT with the native C++ host scan instead of the "
+                        "device (independent oracle; GT_MODE analogue)")
     args = p.parse_args(argv)
-    setup_jax(args)
-
-    from nvdb_tpu.index.flat import build_ground_truth
-    from nvdb_tpu.store import VectorStore
 
     bf = vecbin.VecbinFile(args.base)
     qf = vecbin.VecbinFile(args.query)
-    store = VectorStore.from_vecbin(args.base)
     t0 = time.perf_counter()
-    ids = build_ground_truth(store, qf.rows_f32(), args.k, batch=args.batch,
-                             backend=args.backend)
+    if args.host:
+        from nvdb_tpu import native
+
+        _, ids = native.topk_dot_f32(bf.rows_f32(), qf.rows_f32(), args.k)
+    else:
+        setup_jax(args)
+
+        from nvdb_tpu.index.flat import build_ground_truth
+        from nvdb_tpu.store import VectorStore
+
+        store = VectorStore.from_vecbin(args.base)
+        ids = build_ground_truth(store, qf.rows_f32(), args.k, batch=args.batch,
+                                 backend=args.backend)
     dt = time.perf_counter() - t0
     gtbin.write_gtbin(args.out, ids, dim=bf.dim, N=bf.count)
     print(f"wrote GT [{qf.count} x {args.k}] over N={bf.count} in {dt:.2f}s "

@@ -13,12 +13,14 @@ def main(argv=None):
     p.add_argument("out")
     args = p.parse_args(argv)
 
+    from nvdb_tpu import native
+
     f = vecbin.VecbinFile(args.src)
     chunk = 262144
     with vecbin.StreamingVecbinWriter(args.out, f.dim, "i8") as w:
         for s in range(0, f.count, chunk):
             rows = f.rows_f32(s, min(s + chunk, f.count))
-            q, sc = vecbin.quantize_i8(rows)
+            q, sc = native.quantize_i8(rows)  # threaded C++; numpy fallback
             w.append(q, sc)
     out = vecbin.VecbinFile(args.out)
     print(f"wrote {out.count} x {out.dim} i8(+scale) -> {args.out}")
