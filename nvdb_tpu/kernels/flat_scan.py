@@ -39,22 +39,23 @@ MAX_K = 128  # top-k kept in VMEM registers; ample vs the reference's K cap of 6
 
 def _merge_topk_sorted(cvals: jax.Array, cids: jax.Array, k: int
                        ) -> Tuple[jax.Array, jax.Array]:
-    """k rounds of (row-max, first-occurrence select, mask) over [B, W]
-    candidates -> ([B, k] vals, [B, k] ids), sorted descending. All VPU-friendly
-    elementwise + lane reductions; no gathers."""
-    B, W = cvals.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    """k rounds of masked max-extraction over [B, W] candidates ->
+    ([B, k] vals, [B, k] ids), sorted descending. 3 VPU passes per round —
+    row-max, id-select, mask-by-id — no gathers. Exact: candidate ids are
+    unique within a row (global row ids + the -1 scratch padding, which only
+    ever carries -inf), so masking by the selected id removes exactly one live
+    entry; score ties resolve to the larger id."""
     vals_cols = []
     ids_cols = []
     cur = cvals
     for _ in range(k):
-        m = jnp.max(cur, axis=1, keepdims=True)                      # [B, 1]
-        sel_col = jnp.min(jnp.where(cur == m, col, W), axis=1, keepdims=True)
-        sel = col == sel_col
-        idv = jnp.max(jnp.where(sel, cids, -1), axis=1, keepdims=True)
+        m = jnp.max(cur, axis=1, keepdims=True)                       # [B, 1]
+        idv = jnp.max(jnp.where(cur == m, cids, -1), axis=1, keepdims=True)
         vals_cols.append(m)
-        ids_cols.append(idv)
-        cur = jnp.where(sel, NEG_INF, cur)
+        # a -inf round has no live entry left: emit -1, not the id of some
+        # already-extracted (masked) candidate that still matches cur == m
+        ids_cols.append(jnp.where(m == NEG_INF, -1, idv))
+        cur = jnp.where(cids == idv, NEG_INF, cur)
     return jnp.concatenate(vals_cols, axis=1), jnp.concatenate(ids_cols, axis=1)
 
 
@@ -102,7 +103,11 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool):
 
         B = s.shape[0]
         gcol = jax.lax.broadcasted_iota(jnp.int32, (B, tile_rows), 1) + i * tile_rows
-        s = jnp.where(gcol < n_valid, s, NEG_INF)
+        valid = gcol < n_valid
+        s = jnp.where(valid, s, NEG_INF)
+        # padding rows carry id -1 (all -1 entries are -inf, so the merge's
+        # mask-by-id sweep over them is a no-op and empty slots emit -1)
+        gcol = jnp.where(valid, gcol, -1)
 
         # Always-merge: a per-tile threshold-skip branch was tried and REVERTED —
         # the scalar predicate forces a vector->scalar sync every grid step
