@@ -176,7 +176,7 @@ class IVFFlatIndex:
         S = min(spill_candidates, nlist)
         alts = np.asarray(_topS_centroids(jnp.asarray(data_p), cents, S))
 
-        lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 8)
+        lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 32)  # 32 = strictest dtype sublane tile
 
         code = vecbin.dtype_code(dtype)
         scales = None
@@ -202,7 +202,11 @@ class IVFFlatIndex:
     # -- search ----------------------------------------------------------------
 
     def search(self, queries: np.ndarray, k: int, nprobe: int,
-               q_chunk: int = 32) -> Tuple[np.ndarray, np.ndarray]:
+               q_chunk: int = 32, backend: str = "jnp"
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """backend="jnp": slab-gather + batched einsum (throughput-friendly).
+        backend="pallas": scalar-prefetch probe kernel — each probed list slab
+        is DMA'd HBM->VMEM exactly once, no materialized gather (latency path)."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         qn = queries.shape[0]
         dp = self.packed.shape[2]
@@ -220,9 +224,14 @@ class IVFFlatIndex:
                 bp *= 2
             block = np.zeros((bp, dp), np.float32)
             block[:b] = qp[s:e]
-            v, i = _ivf_search_block(
-                jnp.asarray(block), self.centroids, self.packed, self.slot_ids,
-                self.slot_scales, k, nprobe)
+            if backend == "pallas":
+                v, i = _ivf_probe_pallas(
+                    jnp.asarray(block), self.centroids, self.packed,
+                    self.slot_ids, self.slot_scales, k, nprobe)
+            else:
+                v, i = _ivf_search_block(
+                    jnp.asarray(block), self.centroids, self.packed,
+                    self.slot_ids, self.slot_scales, k, nprobe)
             vals_out[s:e] = np.asarray(v)[:b]
             ids_out[s:e] = np.asarray(i)[:b]
         return vals_out, ids_out
@@ -261,6 +270,22 @@ class IVFFlatIndex:
             slot_ids=jnp.asarray(z["slot_ids"]),
             slot_scales=jnp.asarray(sc) if sc.size else None,
             n=n, d=d, dtype_code=code, n_spilled=spilled)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def _ivf_probe_pallas(
+    queries: jax.Array, centroids: jax.Array, packed: jax.Array,
+    slot_ids: jax.Array, slot_scales, k: int, nprobe: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Coarse top-nprobe (jnp) + the scalar-prefetch Pallas probe kernel."""
+    from nvdb_tpu.kernels.ivf_scan import pallas_ivf_probe_topk
+
+    qc = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
+    _, probes = jax.lax.top_k(2.0 * qc - c2, nprobe)
+    return pallas_ivf_probe_topk(queries, probes, packed, slot_ids,
+                                 slot_scales, k)
 
 
 @functools.partial(jax.jit, static_argnames=("s",))

@@ -147,7 +147,7 @@ class IVFPQIndex:
 
         S = min(spill_candidates, nlist)
         alts = np.asarray(_topS_centroids(jnp.asarray(data_rot), cents, S))
-        lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 8)
+        lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 32)  # 32 = strictest dtype sublane tile
 
         # pack ROW IDS first (codes depend on the packed list's centroid)
         dummy = np.zeros((n, 1), np.float32)

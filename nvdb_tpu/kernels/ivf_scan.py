@@ -1,0 +1,141 @@
+"""Pallas IVF probe kernel: data-dependent list-slab DMA via scalar prefetch.
+
+The jnp IVF path (index/ivf_flat.py) materializes gathered slabs
+``[B, nprobe, Lcap, Dp]`` in HBM and re-reads them for the einsum — 2x traffic
+plus writes. This kernel uses ``PrefetchScalarGridSpec``: the probe table
+[B, nprobe] is prefetched to SMEM, and each grid step's BlockSpec index_map
+looks up ``probes[b, j]`` to DMA exactly that packed list slab HBM->VMEM once,
+score it on the MXU against query b, and fold it into a VMEM running top-k.
+This is the TPU replacement for FAISS's per-list scan loop
+(nvdb_ivf_eval.cpp:478-489) — the probe loop is the grid, the DMA engine does
+the pointer chasing.
+
+Optimized for the small-batch / low-latency regime: probing reads
+nprobe*Lcap rows per query, so at large B a batched flat scan (which shares
+one base stream across the whole batch) reads less — same economics as the
+reference's IVF-vs-flat trade."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nvdb_tpu.kernels.flat_scan import _merge_topk_sorted, NEG_INF
+
+
+def _make_kernel(k: int, lcap: int, has_scales: bool):
+    def kernel(probes_ref, q_ref, slab_ref, sids_ref, *rest):
+        if has_scales:
+            scale_ref, vals_out, ids_out, vals_scr, ids_scr = rest
+        else:
+            vals_out, ids_out, vals_scr, ids_scr = rest
+            scale_ref = None
+
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            vals_scr[:] = jnp.full(vals_scr.shape, NEG_INF, dtype=jnp.float32)
+            ids_scr[:] = jnp.full(ids_scr.shape, -1, dtype=jnp.int32)
+
+        q = q_ref[0]                       # [1, Dp]
+        slab = slab_ref[0]                 # [Lcap, Dp]
+        dims = (((1,), (1,)), ((), ()))
+        if slab.dtype == jnp.float32:
+            s = jax.lax.dot_general(q, slab, dims,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+        else:
+            s = jax.lax.dot_general(q.astype(jnp.bfloat16),
+                                    slab.astype(jnp.bfloat16), dims,
+                                    preferred_element_type=jnp.float32)
+        if scale_ref is not None:
+            s = s * jnp.reshape(scale_ref[0], (1, lcap))
+        sids = jnp.reshape(sids_ref[0], (1, lcap))
+        s = jnp.where(sids >= 0, s, NEG_INF)
+
+        cvals = jnp.concatenate([vals_scr[0:1], s], axis=1)
+        cids = jnp.concatenate([ids_scr[0:1], sids], axis=1)
+        nv, ni = _merge_topk_sorted(cvals, cids, k)
+        vals_scr[0:1] = nv
+        ids_scr[0:1] = ni
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _emit():
+            vals_out[0] = vals_scr[0:1]
+            ids_out[0] = ids_scr[0:1]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def pallas_ivf_probe_topk(
+    queries: jax.Array,       # [B, Dp] f32
+    probes: jax.Array,        # [B, P] int32 list ids to probe, per query
+    packed: jax.Array,        # [nlist, Lcap, Dp] f32|bf16|int8
+    slot_ids: jax.Array,      # [nlist, Lcap] int32 (-1 padding)
+    slot_scales,              # [nlist, Lcap] f32 | None
+    k: int,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-query probe of its nprobe packed lists -> exact top-k over the
+    probed slabs (dot metric). Same contract as the slab part of
+    ivf_flat._ivf_search_block (its oracle)."""
+    B, Dp = queries.shape
+    nlist, lcap, _ = packed.shape
+    P = probes.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kernel = _make_kernel(k, lcap, slot_scales is not None)
+
+    in_specs = [
+        # queries as [B, 1, Dp] so the (1, 1, Dp) block's trailing dims equal
+        # the array dims (Mosaic block-shape rule)
+        pl.BlockSpec((1, 1, Dp), lambda b, j, pr: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lcap, Dp), lambda b, j, pr: (pr[b, j], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lcap, 1), lambda b, j, pr: (pr[b, j], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [queries.reshape(B, 1, Dp), packed, slot_ids.reshape(nlist, lcap, 1)]
+    if slot_scales is not None:
+        in_specs.append(pl.BlockSpec((1, lcap, 1),
+                                     lambda b, j, pr: (pr[b, j], 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(slot_scales.reshape(nlist, lcap, 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, P),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, k), lambda b, j, pr: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda b, j, pr: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, k), jnp.float32),
+            pltpu.VMEM((8, k), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(probes.astype(jnp.int32), *args)
+    return out[0].reshape(B, k), out[1].reshape(B, k)

@@ -90,3 +90,24 @@ def test_ivf_no_padding_ids(index, data):
     _, queries, _ = data
     _, ids = index.search(queries, 10, 4)
     assert ids.min() >= 0 and ids.max() < 20000
+
+
+def test_ivf_pallas_probe_matches_jnp(index, data):
+    """Differential: the scalar-prefetch Pallas probe kernel (interpret mode on
+    CPU) must agree with the jnp slab-gather path."""
+    _, queries, _ = data
+    vj, ij = index.search(queries[:8], 10, nprobe=8, backend="jnp")
+    vp, ip = index.search(queries[:8], 10, nprobe=8, backend="pallas")
+    np.testing.assert_allclose(vp, vj, atol=1e-5, rtol=1e-5)
+    # id agreement modulo exact-score ties
+    agree = (ip == ij).mean()
+    assert agree > 0.95
+
+
+def test_ivf_pallas_probe_i8(data):
+    base, queries, gt = data
+    idx = IVFFlatIndex.build(base, nlist=64, dtype="i8", n_iters=8, seed=1)
+    _, ids = idx.search(queries[:8], 10, nprobe=64, backend="pallas")
+    hits = sum(len(set(a.tolist()) & set(b.tolist()))
+               for a, b in zip(ids, gt[:8]))
+    assert hits / (8 * 10) >= 0.9
