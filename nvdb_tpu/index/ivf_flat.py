@@ -201,6 +201,16 @@ class IVFFlatIndex:
 
     # -- search ----------------------------------------------------------------
 
+    def search_device(self, queries: jax.Array, k: int, nprobe: int,
+                      backend: str = "jnp") -> Tuple[jax.Array, jax.Array]:
+        """Device-resident path: queries [B, Dp] already padded/on-device;
+        returns device arrays. Avoids per-call host->device transfers (the
+        serving path; host ``search`` wraps this)."""
+        nprobe = min(nprobe, self.nlist)
+        fn = _ivf_probe_pallas if backend == "pallas" else _ivf_search_block
+        return fn(queries, self.centroids, self.packed, self.slot_ids,
+                  self.slot_scales, k, nprobe)
+
     def search(self, queries: np.ndarray, k: int, nprobe: int,
                q_chunk: int = 32, backend: str = "jnp"
                ) -> Tuple[np.ndarray, np.ndarray]:
@@ -224,14 +234,8 @@ class IVFFlatIndex:
                 bp *= 2
             block = np.zeros((bp, dp), np.float32)
             block[:b] = qp[s:e]
-            if backend == "pallas":
-                v, i = _ivf_probe_pallas(
-                    jnp.asarray(block), self.centroids, self.packed,
-                    self.slot_ids, self.slot_scales, k, nprobe)
-            else:
-                v, i = _ivf_search_block(
-                    jnp.asarray(block), self.centroids, self.packed,
-                    self.slot_ids, self.slot_scales, k, nprobe)
+            v, i = self.search_device(jnp.asarray(block), k, nprobe,
+                                      backend=backend)
             vals_out[s:e] = np.asarray(v)[:b]
             ids_out[s:e] = np.asarray(i)[:b]
         return vals_out, ids_out

@@ -174,6 +174,23 @@ class IVFPQIndex:
 
     # -- search ----------------------------------------------------------------
 
+    def search_device(self, queries: jax.Array, k: int, nprobe: int,
+                      refine_k: int = 0, refine_store=None
+                      ) -> Tuple[jax.Array, jax.Array]:
+        """Device-resident path: padded on-device queries in, device arrays out
+        (coarse -> ADC -> optional fused exact refine, one program chain)."""
+        nprobe = min(nprobe, self.nlist)
+        kk = max(k, refine_k)
+        q_rot = queries @ self.rotation if self.rotation is not None else queries
+        v, i = _ivfpq_search_block(q_rot, self.centroids, self.codebooks,
+                                   self.codes, self.slot_ids, kk, nprobe, self.m)
+        if refine_k > 0:
+            if refine_store is None:
+                raise ValueError("refine_k > 0 requires refine_store")
+            v, i = _refine_block(queries, i[:, :refine_k],
+                                 refine_store.vectors, refine_store.scales, k)
+        return v[:, :k], i[:, :k]
+
     def search(
         self,
         queries: np.ndarray,
@@ -189,7 +206,6 @@ class IVFPQIndex:
         qp = np.zeros((qn, dp), np.float32)
         qp[:, : self.d] = queries[:, : self.d]
         nprobe = min(nprobe, self.nlist)
-        kk = max(k, refine_k)
 
         vals_out = np.empty((qn, k), np.float32)
         ids_out = np.empty((qn, k), np.int64)
@@ -201,16 +217,9 @@ class IVFPQIndex:
                 bp *= 2
             block = np.zeros((bp, dp), np.float32)
             block[:b] = qp[s:e]
-            qj = jnp.asarray(block)
-            q_rot = qj @ self.rotation if self.rotation is not None else qj
-            v, i = _ivfpq_search_block(
-                q_rot, self.centroids, self.codebooks, self.codes,
-                self.slot_ids, kk, nprobe, self.m)
-            if refine_k > 0:
-                if refine_store is None:
-                    raise ValueError("refine_k > 0 requires refine_store")
-                v, i = _refine_block(qj, i[:, :refine_k],
-                                     refine_store.vectors, refine_store.scales, k)
+            v, i = self.search_device(jnp.asarray(block), k, nprobe,
+                                      refine_k=refine_k,
+                                      refine_store=refine_store)
             vals_out[s:e] = np.asarray(v)[:b, :k]
             ids_out[s:e] = np.asarray(i)[:b, :k]
         return vals_out, ids_out

@@ -93,3 +93,31 @@ def test_query_sharded_axis(data):
     got64 = np.take_along_axis(s64, np.asarray(ids, dtype=np.int64), axis=1)
     ref64 = np.take_along_axis(s64, ref_ids, axis=1)
     np.testing.assert_allclose(got64, ref64, atol=1e-5, rtol=0)
+
+
+def test_sharded_ivf(mesh8, data):
+    """Lists sharded over 8 devices: recall at equal total probes must be close
+    to the single-device index; full probing must be exact."""
+    from nvdb_tpu.index.ivf_flat import IVFFlatIndex
+    from nvdb_tpu.dist.sharded_ivf import ShardedIVFFlatIndex
+
+    base, queries = data
+    ref_ids, s64 = _oracle_ids(base, queries, 10)
+    ivf = IVFFlatIndex.build(base, nlist=40, dtype="f32", n_iters=6, seed=4)
+    sh = ShardedIVFFlatIndex.from_index(ivf, mesh8)
+    assert sh.nlist % 8 == 0  # padded from 40 to 48
+
+    # full probing == exact
+    _, ids_full = sh.search(queries, 10, nprobe=sh.nlist)
+    got64 = np.take_along_axis(s64, ids_full.astype(np.int64), axis=1)
+    ref64 = np.take_along_axis(s64, ref_ids, axis=1)
+    np.testing.assert_allclose(got64, ref64, atol=1e-5, rtol=0)
+
+    # partial probing: within a few points of the single-device recall
+    def rec(ids):
+        return sum(len(set(a.tolist()) & set(b.tolist()))
+                   for a, b in zip(ids, ref_ids)) / ref_ids.size
+    _, ids_sh = sh.search(queries, 10, nprobe=16)
+    _, ids_1d = ivf.search(queries, 10, nprobe=16)
+    assert rec(ids_sh) >= rec(ids_1d) - 0.1
+    assert ids_full.max() < 4000
