@@ -92,6 +92,20 @@ class PartitionRerankIndex:
                                   metric="dot")
         return np.asarray(rv), np.asarray(ri)
 
+    def save(self, path: str) -> None:
+        """Persist the self-contained search structure (the saveIndex parity,
+        nvdb_hnsw_build.cpp:51). The refine store is rebuilt from the base
+        vecbin at load time (shared deployment state, not serialized)."""
+        self.ivf.save(path)
+
+    @classmethod
+    def load(cls, path: str, refine_rows: Optional[np.ndarray] = None
+             ) -> "PartitionRerankIndex":
+        ivf = IVFFlatIndex.load(path)
+        store = (VectorStore.from_numpy(refine_rows, "f32")
+                 if refine_rows is not None else None)
+        return cls(ivf=ivf, refine_store=store)
+
     def tune_nprobe(self, queries_val: np.ndarray, gt_val: np.ndarray, k: int,
                     target_recall: float = 0.98,
                     candidates=(1, 2, 4, 8, 16, 32, 64, 128, 256)) -> int:

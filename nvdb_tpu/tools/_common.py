@@ -13,6 +13,9 @@ def make_parser(desc: str) -> argparse.ArgumentParser:
                    help="force the CPU backend (with virtual devices)")
     p.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"],
                    help="scan kernel backend (auto: pallas on TPU, jnp elsewhere)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans — the numerical-sanitizer "
+                        "analogue of the reference's ASan/UBSan build option")
     return p
 
 
@@ -27,6 +30,8 @@ def setup_jax(args) -> None:
             os.environ["XLA_FLAGS"] = (
                 flags + " --xla_force_host_platform_device_count=8").strip()
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/nvdb_jax_tool_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 

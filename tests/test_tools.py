@@ -100,3 +100,29 @@ def test_gt_matches_oracle(files):
     got = np.take_along_axis(s, np.asarray(gt_ids, dtype=np.int64), axis=1)
     want = np.take_along_axis(s, ref, axis=1)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pr_build_search_roundtrip(files, capsys):
+    d, base, q, _ = files
+    from nvdb_tpu.tools import pr_build, pr_search
+
+    out = str(d / "pr.npz")
+    pr_build.main([base, out, "--nlist", "32", "--iters", "4", "--backend", "jnp"])
+    capsys.readouterr()
+    pr_search.main([out, q, "--k", "3", "--nprobe", "32", "--base", base,
+                    "--rerank-k", "10", "--backend", "jnp"])
+    outp = capsys.readouterr().out
+    assert outp.count("query ") == 16
+
+
+def test_convert_f16_reference_dtype(files, capsys):
+    d, base, _, _ = files
+    from nvdb_tpu.tools import convert_bf16
+
+    f16 = str(d / "base_f16.vecbin")
+    convert_bf16.main([base, f16, "--f16"])
+    f = vecbin.VecbinFile(f16)
+    assert f.dtype == vecbin.DTYPE_F16  # dtype code 2, reference-readable
+    orig = vecbin.VecbinFile(base)
+    np.testing.assert_allclose(f.rows_f32(0, 10), orig.rows_f32(0, 10),
+                               atol=2e-3)
