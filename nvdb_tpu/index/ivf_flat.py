@@ -46,31 +46,58 @@ def _pack_lists(
     d_padded: int,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray], int]:
     """Pack rows into fixed-capacity lists, spilling overflow to the row's
-    next-nearest centroid with free space (any list as last resort).
+    next-nearest centroid with free space (lists with free slots as a last
+    resort). Fully vectorized (one pass per spill candidate), so packing 100M
+    rows is numpy-speed, not a Python loop.
     Returns (packed [nlist, lcap, Dp], slot_ids [nlist, lcap], slot_scales, n_spilled)."""
     n, d = rows_enc.shape
     fill = np.zeros(nlist, dtype=np.int64)
-    slot_of = np.empty(n, dtype=np.int64)
-    list_of = np.empty(n, dtype=np.int64)
+    slot_of = np.full(n, -1, dtype=np.int64)
+    list_of = np.full(n, -1, dtype=np.int64)
     spilled = 0
 
-    order = np.argsort(assign, kind="stable")  # process list-by-list for locality
-    for i in order:
-        placed = False
-        cands = alts[i] if alts is not None else [assign[i]]
-        for c in cands:
-            if fill[c] < lcap:
-                list_of[i], slot_of[i] = c, fill[c]
-                fill[c] += 1
-                placed = True
-                if c != cands[0]:
-                    spilled += 1
-                break
-        if not placed:
-            c = int(np.argmin(fill))
-            list_of[i], slot_of[i] = c, fill[c]
-            fill[c] += 1
-            spilled += 1
+    if alts is None:
+        alts = assign[:, None]
+
+    def group_ranks(keys: np.ndarray) -> np.ndarray:
+        """Rank of each element within its key group (stable order)."""
+        m = keys.shape[0]
+        order_ = np.argsort(keys, kind="stable")
+        sk = keys[order_]
+        is_start = np.r_[True, sk[1:] != sk[:-1]]
+        start_pos = np.maximum.accumulate(np.where(is_start, np.arange(m), 0))
+        ranks_sorted = np.arange(m) - start_pos
+        ranks = np.empty(m, dtype=np.int64)
+        ranks[order_] = ranks_sorted
+        return ranks
+
+    unplaced = np.arange(n)
+    for s in range(alts.shape[1]):
+        if unplaced.size == 0:
+            break
+        cand = alts[unplaced, s].astype(np.int64)
+        ranks = group_ranks(cand)
+        slots = fill[cand] + ranks
+        ok = slots < lcap
+        rows_ok = unplaced[ok]
+        list_of[rows_ok] = cand[ok]
+        slot_of[rows_ok] = slots[ok]
+        np.add.at(fill, cand[ok], 1)
+        if s > 0:
+            spilled += int(rows_ok.size)
+        unplaced = unplaced[~ok]
+
+    if unplaced.size:
+        # last resort: pour leftovers into whatever lists still have space
+        free = lcap - fill
+        dest = np.repeat(np.arange(nlist), free)[: unplaced.size]
+        if dest.size < unplaced.size:
+            raise ValueError("total list capacity too small for all rows")
+        ranks = group_ranks(dest)
+        list_of[unplaced] = dest
+        slot_of[unplaced] = fill[dest] + ranks
+        np.add.at(fill, dest, 1)
+        spilled += int(unplaced.size)
 
     packed = np.zeros((nlist, lcap, d_padded), dtype=rows_enc.dtype)
     slot_ids = np.full((nlist, lcap), -1, dtype=np.int32)
