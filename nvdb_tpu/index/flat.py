@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from nvdb_tpu.kernels import dispatch
@@ -32,11 +33,21 @@ def _bucket_batch(b: int) -> int:
 
 
 class FlatIndex:
-    """Exact top-k search over a :class:`VectorStore` by dot product."""
+    """Exact top-k search over a :class:`VectorStore` by dot product.
 
-    def __init__(self, store: VectorStore, backend: str = "auto"):
+    ``quantize_queries`` (int8 stores only): quantize queries to int8 per-row
+    max-abs/127 and use the native int8 MXU matmul — 2x compute rate and the
+    reference's "query stays f32" guarantee traded for ~0.4% quantization
+    noise on the query side (opt-in; off = reference-parity accuracy)."""
+
+    def __init__(self, store: VectorStore, backend: str = "auto",
+                 quantize_queries: bool = False):
+        from nvdb_tpu.formats import vecbin as _vb
+
         self.store = store
         self.backend = backend
+        self.quantize_queries = (quantize_queries
+                                 and store.dtype_code == _vb.DTYPE_I8)
         self._jit_cache: dict = {}
 
     # -- device-level call (jit-compiled per (B, k) bucket) -------------------
@@ -53,7 +64,16 @@ class FlatIndex:
             # closed-over device array is embedded into the lowered module as a
             # literal, which forces a device->host transfer of the whole base at
             # trace time (catastrophic for GB-scale stores).
-            if has_scales:
+            if self.quantize_queries:
+                def run(queries, vectors, scales):
+                    amax = jnp.max(jnp.abs(queries), axis=1)
+                    qs = jnp.where(amax > 0, amax / 127.0, 1.0)
+                    q8 = jnp.clip(jnp.round(queries / qs[:, None]),
+                                  -127, 127).astype(jnp.int8)
+                    return dispatch.flat_topk(
+                        q8, vectors, scales, n_valid, k, backend=backend,
+                        query_scales=qs)
+            elif has_scales:
                 def run(queries, vectors, scales):
                     return dispatch.flat_topk(
                         queries, vectors, scales, n_valid, k, backend=backend)

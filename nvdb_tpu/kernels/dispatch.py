@@ -31,15 +31,18 @@ def flat_topk(
     backend: str = "auto",
     row_block: int = 1024,
     interpret: Optional[bool] = None,
+    query_scales: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k dot-product scan of ``queries`` against the padded store."""
     if backend == "auto":
         backend = default_backend()
     if backend == "jnp":
-        return ops.scan_topk(queries, vectors, scales, n_valid, k, row_block=row_block)
+        return ops.scan_topk(queries, vectors, scales, n_valid, k,
+                             row_block=row_block, query_scales=query_scales)
     if backend == "pallas":
         from nvdb_tpu.kernels import flat_scan
 
         return flat_scan.pallas_flat_topk(
-            queries, vectors, scales, n_valid, k, interpret=interpret)
+            queries, vectors, scales, n_valid, k, interpret=interpret,
+            query_scales=query_scales)
     raise ValueError(f"unknown backend {backend!r}")

@@ -47,13 +47,23 @@ def _pick_chunk(n_padded: int, row_block: int, target: int) -> int:
 
 
 def score_chunk(
-    q: jax.Array,            # [B, D] f32
+    q: jax.Array,            # [B, D] f32 (or int8 with q_scales)
     chunk: jax.Array,        # [T, D] f32 | bf16 | int8
     scales: Optional[jax.Array],  # [T] f32 for int8
+    q_scales: Optional[jax.Array] = None,  # [B] f32 for int8 queries
 ) -> jax.Array:
     """Dot-product scores [B, T] with f32 accumulation — the ``score_query_base_at``
     dispatch seam (score_dispatch.h:25-48) collapsed into one batched MXU matmul."""
     cdt = chunk.dtype
+    if q.dtype == jnp.int8 and cdt == jnp.int8:
+        # quantized-query fast path: int8 x int8 -> int32 (exact), both scales
+        # applied to the f32 result
+        s = jnp.dot(q, chunk.T, preferred_element_type=jnp.int32).astype(jnp.float32)
+        if scales is not None:
+            s = s * scales[None, :]
+        if q_scales is not None:
+            s = s * q_scales[:, None]
+        return s
     if cdt == jnp.float32:
         # HIGHEST: true f32 matmul (on the TPU MXU this is the multi-pass bf16
         # decomposition). The default single-pass precision loses ~1e-1 abs error
@@ -91,6 +101,7 @@ def scan_topk(
     k: int,
     row_block: int = 1024,
     chunk_target: int = 131072,
+    query_scales: Optional[jax.Array] = None,  # [B] f32 for int8 queries
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact flat-scan top-k by dot product. Returns (scores [B,k], ids [B,k])
     sorted descending. The jnp oracle for the Pallas fused scan kernel."""
@@ -112,7 +123,7 @@ def scan_topk(
             tile, s_tile, start = xs
         else:
             (tile, start), s_tile = xs, None
-        scores = score_chunk(queries, tile, s_tile)
+        scores = score_chunk(queries, tile, s_tile, query_scales)
         gids = start + col_ids
         scores = jnp.where((gids < n_valid)[None, :], scores, NEG_INF)
         new_vals, new_ids = merge_topk(

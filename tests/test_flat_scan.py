@@ -113,3 +113,27 @@ def test_scores_descending(data):
     store = VectorStore.from_numpy(base, "f32", row_block=256)
     vals, _ = FlatIndex(store, backend="jnp").search(queries, 10)
     assert np.all(np.diff(vals, axis=1) <= 1e-6)
+
+
+def test_i8_quantized_queries(data):
+    """Opt-in int8 x int8 MXU path: recall stays high, scores match a float
+    emulation of the same quantized arithmetic."""
+    base, queries = data
+    q8, scales = vecbin.quantize_i8(base)
+    store = VectorStore.from_numpy(q8, "i8", scales=scales, row_block=256)
+    idx = FlatIndex(store, backend="jnp", quantize_queries=True)
+    vals, ids = idx.search(queries, 10)
+    # oracle: quantize queries the same way, compute in float
+    qq, qs = vecbin.quantize_i8(queries)
+    deq_b = vecbin.dequantize_i8(q8, scales)
+    deq_q = vecbin.dequantize_i8(qq, qs)
+    s = deq_q @ deq_b.T
+    ref_ids = np.argsort(-s, axis=1, kind="stable")[:, :10]
+    hits = sum(len(set(a) & set(b)) for a, b in
+               zip(ids.tolist(), ref_ids.tolist()))
+    assert hits / ref_ids.size >= 0.95
+    # and still close to the full-precision truth
+    _, f32_ids = numpy_topk_dot(base, queries, 10)
+    hits = sum(len(set(a) & set(b)) for a, b in
+               zip(ids.tolist(), f32_ids.tolist()))
+    assert hits / f32_ids.size >= 0.8

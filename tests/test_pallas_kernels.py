@@ -106,3 +106,19 @@ def test_pallas_n_less_than_k():
     assert (ids[:, :5] < 5).all() and (ids[:, :5] >= 0).all()
     assert (ids[:, 5:] == -1).all()
     assert np.all(np.isneginf(vals[:, 5:]))
+
+
+def test_pallas_i8_quantized_queries(data):
+    """int8 x int8 kernel path (interpret) vs the jnp int8-query oracle: the
+    int32 accumulation is exact, so scores must match to f32 rounding."""
+    base, queries = data
+    q8, scales = vecbin.quantize_i8(base)
+    qq, qs = vecbin.quantize_i8(queries)
+    pv, pi = pallas_flat_topk(
+        jnp.asarray(qq), jnp.asarray(q8), jnp.asarray(scales), 2048, 10,
+        tile_rows=256, query_scales=jnp.asarray(qs))
+    jv, ji = ops.scan_topk(jnp.asarray(qq), jnp.asarray(q8),
+                           jnp.asarray(scales), 2048, 10, row_block=256,
+                           query_scales=jnp.asarray(qs))
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ji))
