@@ -1,0 +1,58 @@
+"""Property fuzz: the Pallas scan must match the float64 oracle across random
+shape/k/dtype combinations (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nvdb_tpu.formats import synth, vecbin
+from nvdb_tpu.kernels.flat_scan import pallas_flat_topk
+
+CASES = [
+    # (n_padded, n_valid, d, B, k, tile, dtype)
+    (512, 500, 128, 8, 3, 128, "f32"),
+    (1024, 1024, 256, 16, 17, 256, "f32"),
+    (768, 700, 128, 8, 10, 256, "bf16"),
+    (2048, 1500, 128, 32, 25, 512, "i8"),
+    (256, 256, 384, 8, 1, 256, "f32"),
+    (512, 511, 128, 8, 128, 128, "f32"),   # k == MAX_K
+]
+
+
+@pytest.mark.parametrize("n_pad,n,d,b,k,tile,dtype", CASES)
+def test_fuzz_case(n_pad, n, d, b, k, tile, dtype):
+    rng_seed = hash((n_pad, n, d, b, k)) % 2**31
+    base = synth.normalized_gaussian(n_pad, d, seed=rng_seed)
+    base[n:] = 0.0
+    queries, _ = synth.sample_queries(base[:n], b, seed=rng_seed + 1, perturb=0.1)
+
+    scales = None
+    if dtype == "i8":
+        enc, sc = vecbin.quantize_i8(base)
+        vecs, scales = jnp.asarray(enc), jnp.asarray(sc)
+        eff = vecbin.dequantize_i8(enc, sc)
+    elif dtype == "bf16":
+        enc = vecbin.to_bf16(base)
+        vecs = jnp.asarray(enc)
+        eff = np.asarray(enc, dtype=np.float32)
+    else:
+        vecs = jnp.asarray(base)
+        eff = base
+
+    vals, ids = pallas_flat_topk(jnp.asarray(queries), vecs, scales, n, k,
+                                 tile_rows=tile)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+
+    kk = min(k, n)
+    assert (ids[:, :kk] >= 0).all() and (ids[:, :kk] < n).all()
+    # achieved float64 scores of chosen ids == oracle top-k scores on the
+    # effective (dequantized) base, within dtype-appropriate tolerance
+    s64 = queries.astype(np.float64) @ eff[:n].T.astype(np.float64)
+    ref = -np.sort(-s64, axis=1)[:, :kk]
+    got = np.take_along_axis(s64, ids[:, :kk].astype(np.int64), axis=1)
+    tol = {"f32": 1e-5, "bf16": 5e-2, "i8": 5e-2}[dtype]
+    np.testing.assert_allclose(got, ref, atol=tol, rtol=0)
+    # sorted descending, unique
+    assert np.all(np.diff(vals[:, :kk], axis=1) <= 1e-6)
+    for row in ids[:, :kk]:
+        assert len(set(row.tolist())) == kk
