@@ -22,3 +22,8 @@ C++/AVX2/CUDA benchmark `ntnu-yjyjames/nano-vectordb` (see SURVEY.md):
 __version__ = "0.1.0"
 
 from nvdb_tpu.formats import vecbin, gtbin  # noqa: F401
+from nvdb_tpu.store import VectorStore  # noqa: F401
+from nvdb_tpu.index.flat import FlatIndex, build_ground_truth  # noqa: F401
+from nvdb_tpu.index.ivf_flat import IVFFlatIndex  # noqa: F401
+from nvdb_tpu.index.ivf_pq import IVFPQIndex  # noqa: F401
+from nvdb_tpu.index.partition import PartitionRerankIndex  # noqa: F401

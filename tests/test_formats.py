@@ -124,3 +124,27 @@ def test_synth_normalized():
     for gen in (synth.normalized_gaussian, synth.clustered):
         x = gen(64, 24, seed=11)
         np.testing.assert_allclose(np.linalg.norm(x, axis=1), 1.0, atol=1e-5)
+
+
+def test_f16_file_loads_into_store(tmp_path):
+    """f16 (dtype=2) files — the reference's reduced-precision format — load
+    and re-encode to the TPU-native bf16 store."""
+    from nvdb_tpu.formats import synth
+    from nvdb_tpu.store import VectorStore
+
+    x = synth.normalized_gaussian(64, 32, seed=9)
+    p = str(tmp_path / "h.vecbin")
+    vecbin.write_vecbin(p, x.astype(np.float16), dtype="f16")
+    store = VectorStore.from_vecbin(p, row_block=32)
+    assert store.dtype_code == vecbin.DTYPE_BF16
+    assert store.src_dtype_code == vecbin.DTYPE_F16
+    got = np.asarray(store.vectors[:64, :32], dtype=np.float32)
+    np.testing.assert_allclose(got, x, atol=0.02)
+
+
+def test_public_api_imports():
+    import nvdb_tpu
+
+    for name in ("VectorStore", "FlatIndex", "IVFFlatIndex", "IVFPQIndex",
+                 "PartitionRerankIndex", "build_ground_truth"):
+        assert hasattr(nvdb_tpu, name)
