@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--shards", type=int, default=1,
                    help=">1: row-shard the store over this many devices")
     p.add_argument("--gt", default=None, help="gtbin file for recall@k")
+    p.add_argument("--device-queries", action="store_true",
+                   help="pre-upload the query pool and slice batches on-device "
+                        "(excludes host->device transfer from timed loops; the "
+                        "honest mode through a remote/relay TPU attachment)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -58,8 +62,43 @@ def main(argv=None):
           f"Q={qf.count} k={args.k} backend={args.backend} "
           f"device={jax.default_backend()} shards={args.shards}")
 
+    search_fn = index.search
+    if args.device_queries and args.shards == 1:
+        import jax.numpy as jnp
+        import numpy as _np
+        from nvdb_tpu.kernels import dispatch
+        from nvdb_tpu.utils import round_up as _ru
+
+        b = max(args.batch_q, 1)
+        bp = 8
+        while bp < b:
+            bp *= 2
+        qp = store.pad_queries(queries)
+        pool_rows = _ru(max(qp.shape[0], bp), bp)
+        pool_host = _np.zeros((pool_rows, qp.shape[1]), _np.float32)
+        pool_host[: qp.shape[0]] = qp
+        pool = jax.block_until_ready(jax.device_put(jnp.asarray(pool_host)))
+
+        n_valid, k_, backend = store.n, args.k, args.backend
+
+        @jax.jit
+        def step(pool, vectors, scales, start):
+            block = jax.lax.dynamic_slice(pool, (start, 0), (bp, pool.shape[1]))
+            return dispatch.flat_topk(block, vectors, scales, n_valid, k_,
+                                      backend=backend)
+
+        base_addr = queries.__array_interface__["data"][0]
+        row_stride = queries.strides[0]
+
+        def search_fn(qs, k):
+            # recover the batch's start row from the slice's memory offset so
+            # warmup calls can't desynchronize ids vs queries
+            start = (qs.__array_interface__["data"][0] - base_addr) // row_stride
+            v, i = step(pool, store.vectors, store.scales, int(start))
+            return _np.asarray(v)[: qs.shape[0]], _np.asarray(i)[: qs.shape[0]]
+
     ids, stats = run_benchmark(
-        index.search, queries, args.k, batch_q=args.batch_q,
+        search_fn, queries, args.k, batch_q=args.batch_q,
         warmup=args.warmup, bytes_per_query=store.payload_bytes)
     print(stats.render())
 
