@@ -23,13 +23,17 @@ def normalized_gaussian(count: int, dim: int, seed: int = 0,
 
 def clustered(count: int, dim: int, n_clusters: int = 64, spread: float = 0.25,
               seed: int = 0, dtype=np.float32) -> np.ndarray:
-    """Mixture-of-Gaussians rows, L2-normalized: ``center + spread * noise``.
-    Gives ANN indexes realistic recall behaviour (real embeddings cluster)."""
+    """Mixture-of-Gaussians rows, L2-normalized. ``spread`` is the expected
+    noise NORM relative to the unit centers (noise is scaled by 1/sqrt(dim)),
+    so the cluster signal-to-noise ratio is dimension-independent — without
+    this, high-dim "clusters" degenerate to isotropic noise (at 768-D a raw
+    0.25-sigma noise vector has norm ~7 vs unit centers)."""
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((n_clusters, dim), dtype=np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     assign = rng.integers(0, n_clusters, size=count)
-    x = centers[assign] + spread * rng.standard_normal((count, dim), dtype=np.float32)
+    noise = rng.standard_normal((count, dim), dtype=np.float32) / np.sqrt(dim)
+    x = centers[assign] + spread * noise
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     return x.astype(dtype)
 

@@ -10,7 +10,8 @@ from nvdb_tpu.eval.recall import recall_at_k
 
 @pytest.fixture(scope="module")
 def data():
-    base = synth.low_rank(16000, 128, intrinsic=24, n_clusters=64, seed=71)
+    base = synth.low_rank(16000, 128, intrinsic=24, n_clusters=64, spread=1.5,
+                          seed=71)
     queries, _ = synth.sample_queries(base, 32, seed=72, perturb=0.05)
     s = queries.astype(np.float64) @ base.T.astype(np.float64)
     gt = np.argsort(-s, axis=1)[:, :10]

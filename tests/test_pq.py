@@ -15,8 +15,11 @@ from nvdb_tpu.store import VectorStore
 @pytest.fixture(scope="module")
 def data():
     # low intrinsic dimension = the realistic regime for PQ (real embeddings
-    # concentrate on low-dim manifolds; isotropic Gaussian is PQ's worst case)
-    base = synth.low_rank(12000, 128, intrinsic=24, n_clusters=48, seed=61)
+    # concentrate on low-dim manifolds; isotropic Gaussian is PQ's worst case).
+    # spread=1.5: moderate cluster overlap — ultra-tight clusters are PQ-
+    # adversarial (within-cluster deltas fall below quantization error).
+    base = synth.low_rank(12000, 128, intrinsic=24, n_clusters=48, spread=1.5,
+                          seed=61)
     queries, _ = synth.sample_queries(base, 24, seed=62, perturb=0.05)
     s = queries.astype(np.float64) @ base.T.astype(np.float64)
     gt = np.argsort(-s, axis=1)[:, :10]
