@@ -15,7 +15,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from nvdb_tpu.dist import mesh as meshmod
 from nvdb_tpu.kernels import dispatch

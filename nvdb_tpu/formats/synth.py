@@ -7,7 +7,7 @@ structure so IVF/partition indexes have something real to exploit."""
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import numpy as np
 

@@ -10,7 +10,7 @@ native mode here: B queries share one stream of the base.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +18,7 @@ import numpy as np
 
 from nvdb_tpu.kernels import dispatch
 from nvdb_tpu.store import VectorStore
-from nvdb_tpu.utils import round_up
+
 
 # Batch sizes are bucketed to powers of two (>= 8, the f32 sublane count) to
 # bound the number of jit recompiles while keeping tile shapes MXU-friendly.

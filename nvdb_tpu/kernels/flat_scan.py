@@ -24,7 +24,7 @@ Design:
 
 from __future__ import annotations
 
-import functools
+
 from typing import Optional, Tuple
 
 import jax

@@ -12,9 +12,9 @@ torch-cpu or, with --jax-embed, a flax model when available.
 from __future__ import annotations
 
 import json
-import os
+
 import re
-import sys
+
 
 import numpy as np
 

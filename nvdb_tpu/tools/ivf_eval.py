@@ -14,12 +14,12 @@ collapses; the refine cost is reported as the ANN-vs-total delta.
 from __future__ import annotations
 
 import itertools
-import time
+
 
 import numpy as np
 
 from nvdb_tpu.eval.recall import recall_at_k
-from nvdb_tpu.eval.stats import compute_stats, result_line
+from nvdb_tpu.eval.stats import result_line
 from nvdb_tpu.formats import gtbin, vecbin
 from nvdb_tpu.tools._common import make_parser, setup_jax
 
