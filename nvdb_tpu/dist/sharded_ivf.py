@@ -43,6 +43,18 @@ class ShardedIVFFlatIndex:
     def nlist(self) -> int:
         return self.centroids.shape[0]
 
+    @property
+    def lcap(self) -> int:
+        return self.packed.shape[1]
+
+    @property
+    def index_bytes(self) -> int:
+        b = self.packed.size * self.packed.dtype.itemsize
+        b += self.slot_ids.size * 4 + self.centroids.size * 4
+        if self.slot_scales is not None:
+            b += self.slot_scales.size * 4
+        return b
+
     @classmethod
     def from_index(cls, ivf: IVFFlatIndex, mesh: Optional[Mesh] = None
                    ) -> "ShardedIVFFlatIndex":

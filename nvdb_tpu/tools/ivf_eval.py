@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--gt", default=None, help="cached gtbin (GT_PATH analogue)")
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--batch-q", type=int, default=8)
+    p.add_argument("--shards", type=int, default=1,
+                   help=">1: shard inverted lists over this many devices "
+                        "(ivfflat only; nprobe becomes the TOTAL across shards)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -48,6 +51,15 @@ def main(argv=None):
     is_pq = "codebooks" in z.files
     idx = (IVFPQIndex.load(args.index) if is_pq else IVFFlatIndex.load(args.index))
     kind = "ivfpq" if is_pq else "ivfflat"
+
+    if args.shards > 1:
+        if is_pq:
+            raise SystemExit("--shards currently supports ivfflat only")
+        from nvdb_tpu.dist import mesh as meshmod
+        from nvdb_tpu.dist.sharded_ivf import ShardedIVFFlatIndex
+
+        idx = ShardedIVFFlatIndex.from_index(idx, meshmod.row_mesh(args.shards))
+        kind = f"ivfflat-sharded{args.shards}"
 
     qf = vecbin.VecbinFile(args.query)
     queries = qf.rows_f32()
