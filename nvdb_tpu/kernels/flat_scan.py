@@ -143,13 +143,16 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool):
     return kernel
 
 
-def _pick_tile_rows(n_padded: int, dtype, d_padded: int) -> int:
-    """Largest power-of-two row tile dividing n_padded, sized so the double-
-    buffered tile fits comfortably in VMEM (~16 MB/core)."""
+def _pick_tile_rows(n_padded: int, dtype, d_padded: int, batch: int = 8) -> int:
+    """Largest power-of-two row tile dividing n_padded such that the working
+    set fits VMEM (~16 MB/core): double-buffered base tile + the [B, T] f32
+    score block and its merge intermediates (~3x), + the resident query block."""
     bpe = jnp.dtype(dtype).itemsize
-    budget = 4 * 1024 * 1024  # per-buffer VMEM budget for the base tile
+    budget = 12 * 1024 * 1024 - batch * d_padded * 4
     t = 2048
-    while t > 8 and (t * d_padded * bpe > budget or n_padded % t != 0):
+    while t > 8 and (
+        t * d_padded * bpe * 2 + batch * t * 4 * 3 > budget or n_padded % t != 0
+    ):
         t //= 2
     return max(t, 8)
 
@@ -171,7 +174,7 @@ def pallas_flat_topk(
     Np = vectors.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    T = tile_rows or _pick_tile_rows(Np, vectors.dtype, Dp)
+    T = tile_rows or _pick_tile_rows(Np, vectors.dtype, Dp, B)
     assert Np % T == 0, (Np, T)
     n_tiles = Np // T
 
