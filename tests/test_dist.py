@@ -121,3 +121,39 @@ def test_sharded_ivf(mesh8, data):
     _, ids_1d = ivf.search(queries, 10, nprobe=16)
     assert rec(ids_sh) >= rec(ids_1d) - 0.1
     assert ids_full.max() < 4000
+
+
+def test_sharded_lloyd_step(mesh8, data):
+    """Distributed k-means step: psum'd centroid update must equal the
+    single-device Lloyd update on the same data."""
+    import jax.numpy as jnp
+    from nvdb_tpu.dist.sharded import sharded_lloyd_step
+    from nvdb_tpu.kernels.kmeans import _lloyd_step
+
+    base, _ = data
+    store = VectorStore.from_numpy(
+        base, "f32", row_block=128, sharding=meshmod.row_sharding(mesh8),
+        n_shards=8)
+    cents0 = jnp.asarray(store.pad_queries(base[:16]))
+
+    new_sh, obj_sh = sharded_lloyd_step(mesh8, store.vectors, cents0, store.n)
+
+    # single-device oracle over the same padded array with valid-row masking
+    host = np.asarray(store.vectors)
+    valid = np.zeros(store.n_padded, np.float32)
+    valid[: store.n] = 1.0
+    vw = jnp.asarray(host * valid[:, None])
+    sums, counts, obj = _lloyd_step(vw[None], cents0, 16)
+    import jax
+
+    a = np.asarray(jax.vmap(lambda c: jnp.argmin(
+        jnp.sum((vw - c) ** 2, axis=1)))(cents0))  # noqa: F841 (sanity only)
+    pad_assign = np.asarray(
+        jnp.argmin(jnp.sum(cents0**2, 1)[None, :] - 2 * vw @ cents0.T, axis=1))
+    pad_onehot = np.eye(16, dtype=np.float32)[pad_assign]
+    pad_counts = (pad_onehot * (1.0 - valid)[:, None]).sum(0)
+    counts = np.asarray(counts) - pad_counts
+    expect = np.where(counts[:, None] > 0.5,
+                      np.asarray(sums) / np.maximum(counts, 1.0)[:, None],
+                      np.asarray(cents0))
+    np.testing.assert_allclose(np.asarray(new_sh), expect, atol=1e-4)
