@@ -108,16 +108,56 @@ def kmeans_fit(
     sub = jnp.take(data, sub_idx, axis=0).astype(jnp.float32)
     cents0 = _kmeanspp_init(k_pp, sub, k)
 
-    def iteration(cents, it_key):
+    mean_count = n / k
+    # pool of candidate split points (first rows are as good as random here)
+    split_pool = data[: min(n, 8192)].astype(jnp.float32)
+
+    def iteration(cents, xs):
+        it_key, allow_split = xs
         sums, counts, obj = _lloyd_step(chunks, cents, k)
         new = sums / jnp.maximum(counts, 1.0)[:, None]
-        # re-seed empty clusters from random data rows
-        empty = counts < 0.5
-        reseed_idx = jax.random.randint(it_key, (k,), 0, n)
-        reseed = jnp.take(data, reseed_idx, axis=0).astype(jnp.float32)
-        new = jnp.where(empty[:, None], reseed, new)
+
+        # Split-largest refinement (the FAISS redo-empty/split trick): a
+        # centroid serving far fewer rows than average is dead weight — usually
+        # a duplicate inside an already-covered cluster while another centroid
+        # is serving several merged clusters. Teleport each underpopulated
+        # centroid next to the center of one of the LARGEST clusters (one
+        # victim each, slightly perturbed); the next Lloyd step splits the
+        # victim. Without this, k-means on many tight clusters converges with
+        # ~40% of clusters merged (measured: 625/1024 covered -> recall cap).
+        # donors: centroids serving well under their share (duplicates inside a
+        # covered cluster sit near 0.5x mean); victims: centroids serving well
+        # over their share (two merged clusters sit near 2x mean). Move the
+        # i-th smallest donor next to the i-th largest victim, but only while
+        # the victim really is oversized (pair i qualifies only if both sides
+        # cross their thresholds).
+        order_small = jnp.argsort(counts)
+        order_big = jnp.argsort(-counts)
+        donor_ok = jnp.take(counts, order_small) < 0.55 * mean_count
+        victim_ok = jnp.take(counts, order_big) > 1.6 * mean_count
+        pair_ok = jnp.logical_and(jnp.logical_and(donor_ok, victim_ok), allow_split)
+        # The donor must land on an actual DATA POINT of the victim's cluster:
+        # center+jitter splits fail in high dim (a random direction has ~1/sqrt(D)
+        # component along the true separation axis, so Lloyd can't pull the two
+        # copies apart). A member point is ~cluster-radius off the mixture mean
+        # along a real data direction, so the next Lloyd step snaps donor and
+        # victim onto the two merged sub-clusters.
+        sub_a = _assign_chunk(split_pool, cents)                     # [m]
+        m_pool = split_pool.shape[0]
+        first_row = jnp.full((k,), m_pool, jnp.int32).at[sub_a].min(
+            jnp.arange(m_pool, dtype=jnp.int32))
+        pick = jnp.take(first_row, order_big)                        # [k]
+        have_pt = pick < m_pool
+        donor_pos = jnp.take(split_pool, jnp.minimum(pick, m_pool - 1), axis=0)
+        donor_pos = jnp.where(have_pt[:, None], donor_pos,
+                              jnp.take(new, order_big, axis=0))
+        new = new.at[order_small].set(
+            jnp.where(pair_ok[:, None], donor_pos,
+                      jnp.take(new, order_small, axis=0)))
         return new, obj / n
 
     keys = jax.random.split(key, n_iters)
-    cents, objs = jax.lax.scan(iteration, cents0, keys)
+    # let the last two iterations run pure Lloyd so splits settle
+    allow = jnp.arange(n_iters) < max(n_iters - 2, 1)
+    cents, objs = jax.lax.scan(iteration, cents0, (keys, allow))
     return cents, objs
