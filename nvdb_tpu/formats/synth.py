@@ -22,15 +22,23 @@ def normalized_gaussian(count: int, dim: int, seed: int = 0,
 
 
 def clustered(count: int, dim: int, n_clusters: int = 64, spread: float = 0.25,
-              seed: int = 0, dtype=np.float32) -> np.ndarray:
+              seed: int = 0, dtype=np.float32, chunk_seed: int | None = None
+              ) -> np.ndarray:
     """Mixture-of-Gaussians rows, L2-normalized. ``spread`` is the expected
     noise NORM relative to the unit centers (noise is scaled by 1/sqrt(dim)),
     so the cluster signal-to-noise ratio is dimension-independent — without
     this, high-dim "clusters" degenerate to isotropic noise (at 768-D a raw
-    0.25-sigma noise vector has norm ~7 vs unit centers)."""
+    0.25-sigma noise vector has norm ~7 vs unit centers).
+
+    ``chunk_seed``: when generating a large dataset in chunks, pass the SAME
+    ``seed`` for every chunk (it determines the shared cluster centers) and a
+    per-chunk ``chunk_seed`` for assignments/noise — otherwise each chunk gets
+    its own centers and the "clusters" don't exist globally."""
     rng = np.random.default_rng(seed)
     centers = rng.standard_normal((n_clusters, dim), dtype=np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    if chunk_seed is not None:
+        rng = np.random.default_rng((seed, chunk_seed))
     assign = rng.integers(0, n_clusters, size=count)
     noise = rng.standard_normal((count, dim), dtype=np.float32) / np.sqrt(dim)
     x = centers[assign] + spread * noise

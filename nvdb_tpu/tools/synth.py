@@ -28,8 +28,10 @@ def main(argv=None):
         while done < args.count:
             n = min(chunk, args.count - done)
             if args.clusters > 0:
+                # same seed -> same global cluster centers across chunks;
+                # chunk_seed varies assignments/noise per chunk
                 rows = synth.clustered(n, args.dim, args.clusters, args.spread,
-                                       seed=args.seed + done)
+                                       seed=args.seed, chunk_seed=done)
             else:
                 rows = synth.normalized_gaussian(n, args.dim, seed=args.seed + done)
             if args.dtype == "i8":

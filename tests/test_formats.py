@@ -148,3 +148,15 @@ def test_public_api_imports():
     for name in ("VectorStore", "FlatIndex", "IVFFlatIndex", "IVFPQIndex",
                  "PartitionRerankIndex", "build_ground_truth"):
         assert hasattr(nvdb_tpu, name)
+
+
+def test_clustered_chunked_shares_centers():
+    """Chunked generation must produce ONE global cluster structure."""
+    a = synth.clustered(256, 32, n_clusters=4, spread=0.05, seed=7, chunk_seed=0)
+    b = synth.clustered(256, 32, n_clusters=4, spread=0.05, seed=7, chunk_seed=1)
+    # rows of chunk b must sit near some center of chunk a's structure
+    # (tight clusters: cos-sim to the nearest a-row > 0.99)
+    sims = (b @ a.T).max(axis=1)
+    assert sims.min() > 0.98
+    # but the chunks themselves are different draws
+    assert not np.allclose(a[:10], b[:10])

@@ -17,7 +17,7 @@ def files(tmp_path_factory):
     q = str(d / "q.vecbin")
     gt = str(d / "gt.gtbin")
     synth_tool.main([base, "--count", "3000", "--dim", "64", "--seed", "3",
-                     "--clusters", "8"])
+                     "--clusters", "8", "--spread", "1.0"])
     make_query.main([base, q, "--q", "16", "--seed", "5"])
     gt_build.main([base, q, gt, "--k", "5", "--backend", "jnp"])
     return d, base, q, gt
