@@ -157,3 +157,33 @@ def test_sharded_lloyd_step(mesh8, data):
                       np.asarray(sums) / np.maximum(counts, 1.0)[:, None],
                       np.asarray(cents0))
     np.testing.assert_allclose(np.asarray(new_sh), expect, atol=1e-4)
+
+
+def test_streamed_vecbin_load_sharded(mesh8, data, tmp_path):
+    """from_vecbin loads straight from mmap into the sharded store; values and
+    search results equal the from_numpy path."""
+    base, queries = data
+    p = str(tmp_path / "s.vecbin")
+    vecbin.write_vecbin(p, base)
+    sh = meshmod.row_sharding(mesh8)
+    st_file = VectorStore.from_vecbin(p, row_block=128, sharding=sh, n_shards=8)
+    st_mem = VectorStore.from_numpy(base, "f32", row_block=128, sharding=sh,
+                                    n_shards=8)
+    assert st_file.n == st_mem.n and st_file.n_padded == st_mem.n_padded
+    np.testing.assert_array_equal(np.asarray(st_file.vectors),
+                                  np.asarray(st_mem.vectors))
+    v1, i1 = ShardedFlatIndex(st_file, mesh=mesh8, backend="jnp").search(queries[:8], 5)
+    v2, i2 = ShardedFlatIndex(st_mem, mesh=mesh8, backend="jnp").search(queries[:8], 5)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_streamed_vecbin_load_i8(mesh8, data, tmp_path):
+    base, _ = data
+    q8, sc = vecbin.quantize_i8(base)
+    p = str(tmp_path / "s8.vecbin")
+    vecbin.write_vecbin(p, q8, dtype="i8", scales=sc)
+    st = VectorStore.from_vecbin(p, row_block=128,
+                                 sharding=meshmod.row_sharding(mesh8), n_shards=8)
+    np.testing.assert_array_equal(
+        np.asarray(st.vectors)[: st.n, : st.d], q8)
+    np.testing.assert_array_equal(np.asarray(st.scales)[: st.n], sc)
