@@ -126,3 +126,13 @@ def test_convert_f16_reference_dtype(files, capsys):
     orig = vecbin.VecbinFile(base)
     np.testing.assert_allclose(f.rows_f32(0, 10), orig.rows_f32(0, 10),
                                atol=2e-3)
+
+
+def test_ab_compare(files, capsys):
+    _, base, q, _ = files
+    from nvdb_tpu.tools import ab_compare
+
+    ab_compare.main([base, q, "--pairs", "4", "--a", "jnp", "--b", "jnp",
+                     "--batch-q", "4"])
+    out = capsys.readouterr().out
+    assert "mean(A-B)" in out and "RESULT ab_a=jnp" in out
