@@ -48,7 +48,7 @@ def clustered(count: int, dim: int, n_clusters: int = 64, spread: float = 0.25,
 
 def low_rank(count: int, dim: int, intrinsic: int = 32, n_clusters: int = 64,
              spread: float = 0.3, noise: float = 0.02, seed: int = 0,
-             dtype=np.float32) -> np.ndarray:
+             dtype=np.float32, chunk_seed: int | None = None) -> np.ndarray:
     """Low-intrinsic-dimension embeddings: clustered points in an ``intrinsic``-
     dim latent space mapped through a random orthonormal [dim, intrinsic] basis
     plus small ambient noise, L2-normalized. Real text embeddings (e.g. the
@@ -57,9 +57,10 @@ def low_rank(count: int, dim: int, intrinsic: int = 32, n_clusters: int = 64,
     rng = np.random.default_rng(seed)
     basis, _ = np.linalg.qr(rng.standard_normal((dim, intrinsic)))
     z = clustered(count, intrinsic, n_clusters=n_clusters, spread=spread,
-                  seed=seed + 1)
+                  seed=seed + 1, chunk_seed=chunk_seed)
     x = z @ basis.T.astype(np.float32)
-    x += noise * rng.standard_normal((count, dim)).astype(np.float32)
+    nrng = rng if chunk_seed is None else np.random.default_rng((seed, 7, chunk_seed))
+    x += noise * nrng.standard_normal((count, dim)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     return x.astype(dtype)
 

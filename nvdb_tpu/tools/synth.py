@@ -18,6 +18,10 @@ def main(argv=None):
     p.add_argument("--clusters", type=int, default=0,
                    help="0 = iid gaussian; else mixture-of-gaussians")
     p.add_argument("--spread", type=float, default=0.25)
+    p.add_argument("--low-rank", type=int, default=0, metavar="INTRINSIC",
+                   help=">0: low-intrinsic-dimension manifold data (the "
+                        "realistic regime for PQ/OPQ; real embeddings are "
+                        "low-rank)")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "i8"])
     p.add_argument("--raw12", action="store_true", help="legacy raw12 header")
     args = p.parse_args(argv)
@@ -27,7 +31,12 @@ def main(argv=None):
         done = 0
         while done < args.count:
             n = min(chunk, args.count - done)
-            if args.clusters > 0:
+            if args.low_rank > 0:
+                rows = synth.low_rank(n, args.dim, intrinsic=args.low_rank,
+                                      n_clusters=max(args.clusters, 64),
+                                      spread=args.spread, seed=args.seed,
+                                      chunk_seed=done)
+            elif args.clusters > 0:
                 # same seed -> same global cluster centers across chunks;
                 # chunk_seed varies assignments/noise per chunk
                 rows = synth.clustered(n, args.dim, args.clusters, args.spread,
