@@ -32,7 +32,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--d", type=int, default=768)
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16", "i8"])
     ap.add_argument("--iters", type=int, default=30)

@@ -148,10 +148,13 @@ def _pick_tile_rows(n_padded: int, dtype, d_padded: int, batch: int = 8) -> int:
     set fits VMEM (~16 MB/core): double-buffered base tile + the [B, T] f32
     score block and its merge intermediates (~3x), + the resident query block."""
     bpe = jnp.dtype(dtype).itemsize
-    budget = 12 * 1024 * 1024 - batch * d_padded * 4
+    # 12 MB working budget minus the resident query block (x2 for dtype casts);
+    # scores carry ~4 live [B, T] f32 temporaries through the merge (measured:
+    # B=1024/T=512 needs 17.4 MB with a 3x factor — OOM)
+    budget = 12 * 1024 * 1024 - batch * d_padded * 8
     t = 2048
     while t > 8 and (
-        t * d_padded * bpe * 2 + batch * t * 4 * 3 > budget or n_padded % t != 0
+        t * d_padded * bpe * 2 + batch * t * 4 * 4 > budget or n_padded % t != 0
     ):
         t //= 2
     return max(t, 8)
