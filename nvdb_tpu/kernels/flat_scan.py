@@ -148,14 +148,14 @@ def _pick_tile_rows(n_padded: int, dtype, d_padded: int, batch: int = 8) -> int:
     set fits VMEM (~16 MB/core): double-buffered base tile + the [B, T] f32
     score block and its merge intermediates (~3x), + the resident query block."""
     bpe = jnp.dtype(dtype).itemsize
-    # 12 MB working budget minus the resident query block (x2 for dtype casts);
-    # scores carry ~4 live [B, T] f32 temporaries through the merge (measured:
-    # B=1024/T=512 needs 17.4 MB with a 3x factor — OOM)
-    budget = 12 * 1024 * 1024 - batch * d_padded * 8
-    t = 2048
-    while t > 8 and (
-        t * d_padded * bpe * 2 + batch * t * 4 * 4 > budget or n_padded % t != 0
-    ):
+    # Mosaic's live-temporary footprint resists closed-form modeling; this
+    # cap table is empirically validated on v5e at Dp=768 (B=256/T=2048 and
+    # B=512/T=1024 compile and run; B=1024/T=512 OOMs scoped vmem at 17.4 MB).
+    cap = 2048 if batch <= 256 else (1024 if batch <= 512 else 256)
+    # still bound the double-buffered base tile for very wide dims
+    budget = 8 * 1024 * 1024
+    t = cap
+    while t > 8 and (t * d_padded * bpe * 2 > budget or n_padded % t != 0):
         t //= 2
     return max(t, 8)
 
