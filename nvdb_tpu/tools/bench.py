@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--shards", type=int, default=1,
                    help=">1: row-shard the store over this many devices")
     p.add_argument("--gt", default=None, help="gtbin file for recall@k")
+    p.add_argument("--quantize-queries", action="store_true",
+                   help="int8 stores: quantize queries and use the native "
+                        "int8 MXU matmul (fastest path; adds ~0.4% query "
+                        "quantization noise)")
     p.add_argument("--device-queries", action="store_true",
                    help="pre-upload the query pool and slice batches on-device "
                         "(excludes host->device transfer from timed loops; the "
@@ -56,7 +60,8 @@ def main(argv=None):
         index = ShardedFlatIndex(store, mesh=mesh, backend=args.backend)
     else:
         store = VectorStore.from_vecbin(args.base)
-        index = FlatIndex(store, backend=args.backend)
+        index = FlatIndex(store, backend=args.backend,
+                          quantize_queries=args.quantize_queries)
 
     print(f"N={store.n} dim={store.d} dtype={vecbin.dtype_name(store.dtype_code)} "
           f"Q={qf.count} k={args.k} backend={args.backend} "
@@ -81,9 +86,18 @@ def main(argv=None):
 
         n_valid, k_, backend = store.n, args.k, args.backend
 
+        qq = args.quantize_queries and store.scales is not None
+
         @jax.jit
         def step(pool, vectors, scales, start):
             block = jax.lax.dynamic_slice(pool, (start, 0), (bp, pool.shape[1]))
+            if qq:
+                amax = jnp.max(jnp.abs(block), axis=1)
+                qs = jnp.where(amax > 0, amax / 127.0, 1.0)
+                block = jnp.clip(jnp.round(block / qs[:, None]),
+                                 -127, 127).astype(jnp.int8)
+                return dispatch.flat_topk(block, vectors, scales, n_valid, k_,
+                                          backend=backend, query_scales=qs)
             return dispatch.flat_topk(block, vectors, scales, n_valid, k_,
                                       backend=backend)
 
