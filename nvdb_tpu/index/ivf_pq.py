@@ -117,7 +117,10 @@ class IVFPQIndex:
         train_size: int = 50_000,      # IVF_TRAIN
         n_iters: int = 10,
         opq_iters: int = 4,            # OPQ_NITER
-        pad_factor: float = 1.5,
+        # codes are ~1 byte/dim: generous list padding costs little memory and
+        # halves spill at high nlist (measured 28-43% spill at pad 1.5 with
+        # nlist >> natural cluster count)
+        pad_factor: float = 2.5,
         spill_candidates: int = 4,
         seed: int = 0,
     ) -> "IVFPQIndex":
