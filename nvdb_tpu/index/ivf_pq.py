@@ -183,6 +183,10 @@ class IVFPQIndex:
         """Device-resident path: padded on-device queries in, device arrays out
         (coarse -> ADC -> optional fused exact refine, one program chain)."""
         nprobe = min(nprobe, self.nlist)
+        if refine_k > 0:
+            # refining fewer than k candidates can't produce k results
+            # (exact_rerank would top_k(k) over refine_k < k rows)
+            refine_k = max(refine_k, k)
         kk = max(k, refine_k)
         q_rot = queries @ self.rotation if self.rotation is not None else queries
         v, i = _ivfpq_search_block(q_rot, self.centroids, self.codebooks,

@@ -14,10 +14,18 @@ Design:
   (f32 accumulate; f32 stores get the multi-pass HIGHEST decomposition, bf16/int8
   single pass). Query batching is therefore native, not bolted on like the
   reference's bench-side batched loops (nvdb_bench.cpp:47-158).
-- Running top-k lives in VMEM scratch across grid steps ([B, k] values + global
-  ids, sorted descending). Each step merges the tile's scores by k rounds of
-  masked max-extraction over [B, k+T] — O(k (k+T)) VPU work vs O(T Dp) MXU work,
-  negligible for k <= 128.
+- Running top-k lives in VMEM scratch across grid steps. Two merge strategies:
+  * "extract" (default): an unsorted [B, 128] slot buffer with min-slot
+    replacement — the TPU re-expression of the reference's TopKBuffer
+    (topK.h:23-49, worst-slot tracking). Per tile: ONE vector pass counts how
+    many scores beat the current per-row k-th value, then a dynamic
+    `fori_loop` runs exactly that many max-extraction rounds (clamped to k —
+    beyond k tile-local improvers cannot enter the merged top-k). In steady
+    state the count is 1-3, so merge work is O(T) per tile and independent of
+    k — vs O(k*T) for the legacy mode below, which capped round-1 throughput
+    at ~30% of roofline (VERDICT.md "What's missing" #1).
+  * "rounds" (legacy, NVDB_MERGE=rounds): k rounds of masked max-extraction
+    over [B, k+T] every tile. Kept as the A/B reference.
 - Padding rows (global id >= n_valid) are masked to -inf before the merge, so
   store padding can never be returned.
 """
@@ -25,6 +33,7 @@ Design:
 from __future__ import annotations
 
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -33,8 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
+POS_INF = float("inf")
 
 MAX_K = 128  # top-k kept in VMEM registers; ample vs the reference's K cap of 64
+
+K_LANES = 128  # slot-buffer width for the "extract" merge (one lane row)
 
 
 def _merge_topk_sorted(cvals: jax.Array, cids: jax.Array, k: int
@@ -94,7 +106,8 @@ def _scores(q: jax.Array, tile: jax.Array, scale_row: Optional[jax.Array],
     return s
 
 
-def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool):
+def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
+                 merge: str = "extract"):
     def kernel(n_ref, q_ref, v_ref, *rest):
         rest = list(rest)
         s_ref = rest.pop(0) if has_scales else None
@@ -124,38 +137,86 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool):
         # mask-by-id sweep over them is a no-op and empty slots emit -1)
         gcol = jnp.where(valid, gcol, -1)
 
-        # Always-merge: a per-tile threshold-skip branch was tried and REVERTED —
-        # the scalar predicate forces a vector->scalar sync every grid step
-        # (~1 us/tile), and with B >= 64 the batch-wide "any query improves"
-        # predicate fires on nearly every tile anyway; measured strictly slower
-        # at every batch size (B=8: 2.8 -> 3.9 ms/scan at 1M x 768).
-        cvals = jnp.concatenate([vals_scr[:], s], axis=1)
-        cids = jnp.concatenate([ids_scr[:], gcol], axis=1)
-        nv, ni = _merge_topk_sorted(cvals, cids, k)
-        vals_scr[:] = nv
-        ids_scr[:] = ni
+        if merge == "rounds":
+            # Legacy always-merge: k rounds over [B, k+T] every tile. O(k*T)
+            # VPU work dominates the MXU matmul for B >= 256 (round-1 bench).
+            cvals = jnp.concatenate([vals_scr[:], s], axis=1)
+            cids = jnp.concatenate([ids_scr[:], gcol], axis=1)
+            nv, ni = _merge_topk_sorted(cvals, cids, k)
+            vals_scr[:] = nv
+            ids_scr[:] = ni
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _emit():
+                vals_out[:] = vals_scr[:]
+                ids_out[:] = ids_scr[:]
+
+            return
+
+        # "extract" merge: unsorted [B, K_LANES] slot buffer, min-slot
+        # replacement (TopKBuffer semantics, topK.h:23-49). One pass counts
+        # per-row improvers vs the current k-th value; a dynamic fori_loop
+        # then runs max(count) extraction rounds (clamped to k: an element
+        # with >= k better tile-mates can never enter the merged top-k).
+        # Expected rounds in steady state: 1-3 — merge work is ~5 vector
+        # passes over [B, T], independent of k. The round-1 objection to
+        # per-tile scalar predicates (one vector->scalar sync per tile) is
+        # paid ONCE per tile here and buys skipping k-ish full passes.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, K_LANES), 1)
+        live = lane < k
+        vals0 = vals_scr[:]
+        ids0 = ids_scr[:]
+        theta0 = jnp.min(jnp.where(live, vals0, POS_INF), axis=1, keepdims=True)
+        cnt = jnp.sum((s > theta0).astype(jnp.int32), axis=1)     # [B]
+        c = jnp.minimum(jnp.max(cnt), k)                          # scalar
+
+        def body(_, carry):
+            s_c, vals_c, ids_c = carry
+            m = jnp.max(s_c, axis=1, keepdims=True)               # [B, 1]
+            idv = jnp.max(jnp.where(s_c == m, gcol, -1), axis=1, keepdims=True)
+            s_c = jnp.where(gcol == idv, NEG_INF, s_c)
+            vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+                           keepdims=True)
+            keep = m > vmin                                       # [B, 1]
+            slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
+                           axis=1, keepdims=True)
+            do = keep & (lane == slot)
+            vals_c = jnp.where(do, m, vals_c)
+            ids_c = jnp.where(do, idv, ids_c)
+            return s_c, vals_c, ids_c
+
+        _, vals1, ids1 = jax.lax.fori_loop(0, c, body, (s, vals0, ids0))
+        vals_scr[:] = vals1
+        ids_scr[:] = ids1
 
         @pl.when(i == pl.num_programs(0) - 1)
-        def _emit():
-            vals_out[:] = vals_scr[:]
-            ids_out[:] = ids_scr[:]
+        def _emit_sorted():
+            # one-time O(k * K_LANES) sort of the slot buffer, descending
+            sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
+            vals_out[:] = sv
+            ids_out[:] = si
 
     return kernel
 
 
-def _pick_tile_rows(n_padded: int, dtype, d_padded: int, batch: int = 8) -> int:
-    """Largest power-of-two row tile dividing n_padded such that the working
-    set fits VMEM (~16 MB/core): double-buffered base tile + the [B, T] f32
-    score block and its merge intermediates (~3x), + the resident query block."""
+def _pick_tile_rows(n_padded: int, dtype, d_padded: int, batch: int = 8,
+                    merge: str = "extract") -> int:
+    """Largest power-of-two row tile dividing n_padded whose working set fits
+    the VMEM model: double-buffered base tile (2*T*Dp*bpe) + score block and
+    its merge temporaries (SCORE_TMP * B*T*4) + the resident query block.
+
+    The model replaces round 1's empirical v5e/768-only cap table (VERDICT.md
+    next-round #9); coefficients are calibrated on v5e: with the legacy
+    "rounds" merge the concat temporaries cost ~3x the score block (B=512/
+    T=1024 compiles at ~14 MB scoped vmem, B=1024/T=512 OOMs at 17.4 MB);
+    the "extract" merge carries the score block through a fori_loop (~2x)."""
     bpe = jnp.dtype(dtype).itemsize
-    # Mosaic's live-temporary footprint resists closed-form modeling; this
-    # cap table is empirically validated on v5e at Dp=768 (B=256/T=2048 and
-    # B=512/T=1024 compile and run; B=1024/T=512 OOMs scoped vmem at 17.4 MB).
-    cap = 2048 if batch <= 256 else (1024 if batch <= 512 else 256)
-    # still bound the double-buffered base tile for very wide dims
-    budget = 8 * 1024 * 1024
-    t = cap
-    while t > 8 and (t * d_padded * bpe * 2 > budget or n_padded % t != 0):
+    score_tmp = 3.0 if merge == "rounds" else 2.0
+    budget = 12 * 1024 * 1024
+    resident = batch * d_padded * 4 + batch * K_LANES * 8
+    t = 4096
+    while t > 8 and (2 * t * d_padded * bpe + score_tmp * batch * t * 4
+                     + resident > budget or n_padded % t != 0):
         t //= 2
     return max(t, 8)
 
@@ -169,19 +230,25 @@ def pallas_flat_topk(
     tile_rows: Optional[int] = None,
     interpret: Optional[bool] = None,
     query_scales: Optional[jax.Array] = None,  # [B] f32 (int8 queries only)
+    merge: Optional[str] = None,  # "extract" | "rounds"; default env NVDB_MERGE
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k dot-product scan. Same contract as ops.scan_topk (its oracle)."""
     if k > MAX_K:
         raise ValueError(f"k={k} exceeds MAX_K={MAX_K}")
+    if merge is None:
+        merge = os.environ.get("NVDB_MERGE", "extract")
+    if merge not in ("extract", "rounds"):
+        raise ValueError(f"unknown merge mode {merge!r}")
     B, Dp = queries.shape
     Np = vectors.shape[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    T = tile_rows or _pick_tile_rows(Np, vectors.dtype, Dp, B)
+    T = tile_rows or _pick_tile_rows(Np, vectors.dtype, Dp, B, merge)
     assert Np % T == 0, (Np, T)
     n_tiles = Np // T
 
-    kernel = _make_kernel(k, T, scales is not None, query_scales is not None)
+    kernel = _make_kernel(k, T, scales is not None, query_scales is not None,
+                          merge)
 
     # n_valid is a scalar-prefetch operand (SMEM), so one compiled kernel serves
     # any valid-row count — needed by sharded shards whose count is traced.
@@ -211,8 +278,8 @@ def pallas_flat_topk(
             pl.BlockSpec((B, k), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, k), jnp.float32),
-            pltpu.VMEM((B, k), jnp.int32),
+            pltpu.VMEM((B, k if merge == "rounds" else K_LANES), jnp.float32),
+            pltpu.VMEM((B, k if merge == "rounds" else K_LANES), jnp.int32),
         ],
     )
 

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 
 def _assign_chunk(chunk: jax.Array, cents: jax.Array) -> jax.Array:
     """[T, D], [K, D] -> [T] int32 nearest-centroid (L2)."""
-    dots = jnp.dot(chunk, cents.T, preferred_element_type=jnp.float32)
+    # HIGHEST: assignment must rank centroids identically to the search-time
+    # coarse ranking (see ivf_flat._topS_centroids)
+    dots = jnp.dot(chunk, cents.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     c2 = jnp.sum(cents * cents, axis=1)[None, :]
     return jnp.argmin(c2 - 2.0 * dots, axis=1).astype(jnp.int32)
 

@@ -90,8 +90,11 @@ def adc_lut(residuals: jax.Array, codebooks: jax.Array, m: int) -> jax.Array:
     """ADC lookup tables for L2: residuals [B, D] (already rotated) ->
     lut [B, M, 256] where lut[b, mi, j] = ||res_m - cb[mi, j]||^2."""
     subs = split_subspaces(residuals, m)                 # [M, B, dsub]
+    # HIGHEST: the LUT defines the ADC ranking; keep it consistent with the
+    # f32 encode-side distances (default precision loses ~1e-1)
     dots = jnp.einsum("mbd,mjd->bmj", subs, codebooks,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     c2 = jnp.sum(codebooks * codebooks, axis=2)          # [M, 256]
     r2 = jnp.sum(subs * subs, axis=2)                    # [M, B]
     return r2.T[:, :, None] - 2.0 * dots + c2[None, :, :]

@@ -79,7 +79,10 @@ def main(argv=None):
         while bp < b:
             bp *= 2
         qp = store.pad_queries(queries)
-        pool_rows = _ru(max(qp.shape[0], bp), bp)
+        # +bp: dynamic_slice clamps start to pool_rows-bp, so without the tail
+        # pad a batch starting near the end would silently return a slice of
+        # EARLIER queries (ids/recall mislabeled for the tail batches)
+        pool_rows = _ru(max(qp.shape[0], bp), bp) + bp
         pool_host = _np.zeros((pool_rows, qp.shape[1]), _np.float32)
         pool_host[: qp.shape[0]] = qp
         pool = jax.block_until_ready(jax.device_put(jnp.asarray(pool_host)))

@@ -82,13 +82,16 @@ def main(argv=None):
           f"Q={Q} k={args.k} index_MB={idx.index_bytes/1e6:.1f}")
 
     for nprobe, refine_k in itertools.product(args.nprobe, args.refine_k):
+        if kind == "ivfflat" and refine_k > 0:
+            # the flat payload is already exact — a refine pass would be a
+            # no-op; skip the grid point instead of emitting fictitious
+            # refine_enabled=1 stats (ADVICE r1)
+            continue
+
         def search_fn(qs, k, nprobe=nprobe, refine_k=refine_k):
             if kind == "ivfpq":
                 return idx.search(qs, k, nprobe, refine_k=refine_k,
                                   refine_store=refine_store)
-            if refine_k > 0:
-                # flat payload is already exact; refine only re-scores in f32
-                return idx.search(qs, k, nprobe)
             return idx.search(qs, k, nprobe)
 
         # ANN-only timing (EVAL_MODE=ann_only analogue)

@@ -25,6 +25,8 @@ def main(argv=None):
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "i8"])
     p.add_argument("--raw12", action="store_true", help="legacy raw12 header")
     args = p.parse_args(argv)
+    if args.raw12 and args.dtype != "f32":
+        p.error("--raw12 is an f32-only legacy format (use --dtype f32)")
 
     chunk = 262144
     with vecbin.StreamingVecbinWriter(args.out, args.dim, args.dtype) as w:
@@ -54,8 +56,12 @@ def main(argv=None):
     info = vecbin.VecbinFile(args.out).info
     print(f"wrote {info.count} x {info.dim} {info.dtype_str} -> {args.out}")
     if args.raw12:
+        # materialize before rewriting: f.vectors is a read memmap of args.out,
+        # and opening the same path for write would truncate it mid-copy
         f = vecbin.VecbinFile(args.out)
-        vecbin.write_vecbin(args.out, np.asarray(f.vectors), legacy_raw12=True)
+        rows = np.array(f.vectors)
+        del f
+        vecbin.write_vecbin(args.out, rows, legacy_raw12=True)
         print("rewrote as raw12")
 
 

@@ -1,0 +1,100 @@
+"""A/B microbench of flat-scan merge strategies on the real TPU.
+
+Usage: python scripts/kernel_ab.py [--n 1000000] [--d 768] [--dtype bf16]
+           [--batches 256,512] [--ks 10,64] [--merges extract,rounds] [--tile 0]
+
+Prints one RESULT line per (merge, B, k) combination; correctness is checked
+against the jnp oracle on the first iteration of each config.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16", "i8"])
+    ap.add_argument("--batches", default="512")
+    ap.add_argument("--ks", default="10")
+    ap.add_argument("--merges", default="extract,rounds")
+    ap.add_argument("--tile", type=int, default=0, help="0 = auto")
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--check", action="store_true", help="verify vs jnp oracle")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nvdb_jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from nvdb_tpu.kernels import flat_scan, ops
+    from nvdb_tpu.utils import round_up
+
+    Np = round_up(args.n, 4096)
+    Dp = round_up(args.d, 128)
+    key = jax.random.PRNGKey(0)
+    base_f32 = jax.random.normal(key, (Np, Dp), dtype=jnp.float32)
+    scales = None
+    if args.dtype == "bf16":
+        base = base_f32.astype(jnp.bfloat16)
+    elif args.dtype == "i8":
+        amax = jnp.max(jnp.abs(base_f32), axis=1)
+        scales = jnp.where(amax > 0, amax / 127.0, 1.0)
+        base = jnp.clip(jnp.round(base_f32 / scales[:, None]), -127, 127
+                        ).astype(jnp.int8)
+    else:
+        base = base_f32
+    del base_f32
+    base = jax.block_until_ready(base)
+    bmax = max(int(b) for b in args.batches.split(","))
+    qpool = jax.block_until_ready(
+        jax.random.normal(jax.random.PRNGKey(1), (bmax * 2, Dp), jnp.float32))
+
+    for merge in args.merges.split(","):
+        for B in (int(x) for x in args.batches.split(",")):
+            for k in (int(x) for x in args.ks.split(",")):
+                tile = args.tile or flat_scan._pick_tile_rows(
+                    Np, base.dtype, Dp, B, merge)
+
+                def run(q):
+                    return flat_scan.pallas_flat_topk(
+                        q, base, scales, args.n, k, tile_rows=tile,
+                        merge=merge)
+
+                runj = jax.jit(run)
+                q0, q1 = qpool[:B], qpool[B:2 * B]
+                t0 = time.perf_counter()
+                v0, i0 = runj(q0)
+                i0 = np.asarray(i0)
+                log(f"[{merge} B={B} k={k} T={tile}] compile+run "
+                    f"{time.perf_counter()-t0:.1f}s")
+                if args.check:
+                    jv, ji = ops.scan_topk(q0, base, scales, args.n, k)
+                    match = np.mean(np.asarray(ji) == i0)
+                    log(f"  id match vs oracle: {match:.4f}")
+                    assert match > 0.99, match
+                _ = np.asarray(runj(q1)[1])
+                t0 = time.perf_counter()
+                r = None
+                for i in range(args.iters):
+                    r = runj(q0 if i % 2 == 0 else q1)
+                _ = np.asarray(r[1])
+                dt = (time.perf_counter() - t0) / args.iters
+                bpe = {"f32": 4, "bf16": 2, "i8": 1}[args.dtype]
+                gbps = Np * Dp * bpe / dt / 1e9
+                print(f"RESULT merge={merge} B={B} k={k} tile={tile} "
+                      f"dtype={args.dtype} n={args.n} d={args.d} "
+                      f"ms={dt*1e3:.3f} qps={B/dt:.1f} gbps={gbps:.1f}",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()

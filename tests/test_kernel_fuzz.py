@@ -19,8 +19,9 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("merge", ["extract", "rounds"])
 @pytest.mark.parametrize("n_pad,n,d,b,k,tile,dtype", CASES)
-def test_fuzz_case(n_pad, n, d, b, k, tile, dtype):
+def test_fuzz_case(n_pad, n, d, b, k, tile, dtype, merge):
     rng_seed = hash((n_pad, n, d, b, k)) % 2**31
     base = synth.normalized_gaussian(n_pad, d, seed=rng_seed)
     base[n:] = 0.0
@@ -40,7 +41,7 @@ def test_fuzz_case(n_pad, n, d, b, k, tile, dtype):
         eff = base
 
     vals, ids = pallas_flat_topk(jnp.asarray(queries), vecs, scales, n, k,
-                                 tile_rows=tile)
+                                 tile_rows=tile, merge=merge)
     vals, ids = np.asarray(vals), np.asarray(ids)
 
     kk = min(k, n)
