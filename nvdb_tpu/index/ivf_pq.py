@@ -8,9 +8,11 @@ exact rerank) is ONE on-device program: no H2D/D2H staging, the refine
 candidates are gathered straight from the HBM-resident flat store.
 
 Layout mirrors IVFFlatIndex: fixed-capacity packed lists, payload = PQ codes
-``[nlist, Lcap, M]`` uint8. All geometry lives in OPQ-rotated space; queries
-are rotated once at search time. Codes encode rotated residuals w.r.t. the
-list each row is PACKED in (spilled rows encode vs their actual list, so ADC
+``[nlist, M, Lcap]`` uint8 (list-major, subspace rows, slot lanes — the
+layout the Pallas ADC kernel's one-hot construction is native in; see
+kernels/adc_scan.py). All geometry lives in OPQ-rotated space; queries are
+rotated once at search time. Codes encode rotated residuals w.r.t. the list
+each row is PACKED in (spilled rows encode vs their actual list, so ADC
 stays consistent).
 """
 
@@ -25,20 +27,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from nvdb_tpu.index.ivf_flat import _pack_lists, _topS_centroids
-from nvdb_tpu.kernels import kmeans, ops, pq
+from nvdb_tpu.kernels import adc_scan, kmeans, ops, pq
 from nvdb_tpu.utils import round_up
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "m"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "m", "backend"))
 def _ivfpq_search_block(
     q_rot: jax.Array,         # [B, Dp] rotated queries
     centroids: jax.Array,     # [nlist, Dp]
     codebooks: jax.Array,     # [M, 256, dsub]
-    codes: jax.Array,         # [nlist, Lcap, M] uint8
+    codes: jax.Array,         # [nlist, M, Lcap] uint8 (transposed layout)
     slot_ids: jax.Array,      # [nlist, Lcap] int32
     k: int,
     nprobe: int,
     m: int,
+    backend: str = "jnp",
 ) -> Tuple[jax.Array, jax.Array]:
     B = q_rot.shape[0]
     qc = jnp.dot(q_rot, centroids.T, preferred_element_type=jnp.float32,
@@ -49,9 +52,15 @@ def _ivfpq_search_block(
     cents_p = jnp.take(centroids, probes, axis=0)                # [B, P, Dp]
     residuals = q_rot[:, None, :] - cents_p                      # [B, P, Dp]
     lut = pq.adc_lut(residuals.reshape(B * nprobe, -1), codebooks, m)
-    lut = lut.reshape(B, nprobe, m, pq.KSUB)                     # [B, P, M, 256]
 
-    code_slab = jnp.take(codes, probes, axis=0)                  # [B, P, L, M]
+    if backend == "pallas":
+        # gather-free nibble one-hot kernel; LUT pre-split [B, P, M, 16, 16]
+        return adc_scan.pallas_adc_topk(
+            lut.reshape(B, nprobe, m, 16, 16), probes, codes, slot_ids, k)
+
+    lut = lut.reshape(B, nprobe, m, pq.KSUB)                     # [B, P, M, 256]
+    code_slab = jnp.take(codes, probes, axis=0)                  # [B, P, M, L]
+    code_slab = jnp.swapaxes(code_slab, -1, -2)                  # [B, P, L, M]
     sids = jnp.take(slot_ids, probes, axis=0)                    # [B, P, L]
     scores = pq.adc_scores(lut, code_slab)                       # [B, P, L] (-L2)
     scores = jnp.where(sids >= 0, scores, -jnp.inf)
@@ -60,16 +69,24 @@ def _ivfpq_search_block(
     return vals, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
+@functools.partial(jax.jit, static_argnames=("k", "backend"))
 def _refine_block(
     queries: jax.Array,       # [B, Dp] UN-rotated queries
     cand_ids: jax.Array,      # [B, R] int32 (-1 padded)
     vectors: jax.Array,       # [Np, Dp] flat store payload
     scales,                   # [Np] | None
     k: int,
+    backend: str = "jnp",
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact L2 rerank of ADC candidates against the full-precision store —
-    the cuda_l2_topk_batch role (cuda_refine.cu:839-1175), fused on-device."""
+    the cuda_l2_topk_batch role (cuda_refine.cu:839-1175), fused on-device.
+    backend="pallas" streams candidate rows HBM->VMEM by id-driven async
+    copies (kernels/rerank.py) instead of materializing the [B, R, Dp]
+    gather slab in HBM."""
+    if backend == "pallas":
+        from nvdb_tpu.kernels.rerank import pallas_rerank
+
+        return pallas_rerank(queries, cand_ids, vectors, scales, k)
     safe = jnp.maximum(cand_ids, 0)
     rows = jnp.take(vectors, safe, axis=0).astype(jnp.float32)   # [B, R, Dp]
     if scales is not None:
@@ -82,7 +99,7 @@ class IVFPQIndex:
     rotation: Optional[jax.Array]     # [Dp, Dp] f32 (OPQ) or None
     centroids: jax.Array              # [nlist, Dp] f32 (rotated space)
     codebooks: jax.Array              # [M, 256, dsub] f32
-    codes: jax.Array                  # [nlist, Lcap, M] uint8
+    codes: jax.Array                  # [nlist, M, Lcap] uint8 (transposed)
     slot_ids: jax.Array               # [nlist, Lcap] int32
     n: int
     d: int
@@ -95,7 +112,7 @@ class IVFPQIndex:
 
     @property
     def lcap(self) -> int:
-        return self.codes.shape[1]
+        return self.codes.shape[2]
 
     @property
     def index_bytes(self) -> int:
@@ -150,7 +167,8 @@ class IVFPQIndex:
 
         S = min(spill_candidates, nlist)
         alts = np.asarray(_topS_centroids(jnp.asarray(data_rot), cents, S))
-        lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 32)  # 32 = strictest dtype sublane tile
+        # 128: Lcap is the LANE dim of the transposed code layout (adc kernel)
+        lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 128)
 
         # pack ROW IDS first (codes depend on the packed list's centroid)
         dummy = np.zeros((n, 1), np.float32)
@@ -168,8 +186,8 @@ class IVFPQIndex:
         cb = pq.train_codebooks(kb, jnp.asarray(residuals[:t]), m, n_iters=6)
 
         codes_rows = np.asarray(_encode_chunked(jnp.asarray(residuals), cb, m))
-        codes = np.zeros((nlist, lcap, m), np.uint8)
-        codes[li, si] = codes_rows[slot_ids[li, si]]
+        codes = np.zeros((nlist, m, lcap), np.uint8)
+        codes[li, :, si] = codes_rows[slot_ids[li, si]]
 
         return cls(rotation=rot, centroids=cents, codebooks=cb,
                    codes=jnp.asarray(codes), slot_ids=jnp.asarray(slot_ids),
@@ -178,10 +196,13 @@ class IVFPQIndex:
     # -- search ----------------------------------------------------------------
 
     def search_device(self, queries: jax.Array, k: int, nprobe: int,
-                      refine_k: int = 0, refine_store=None
-                      ) -> Tuple[jax.Array, jax.Array]:
+                      refine_k: int = 0, refine_store=None,
+                      backend: str = "auto") -> Tuple[jax.Array, jax.Array]:
         """Device-resident path: padded on-device queries in, device arrays out
         (coarse -> ADC -> optional fused exact refine, one program chain)."""
+        if backend == "auto":
+            from nvdb_tpu.kernels.dispatch import default_backend
+            backend = default_backend()
         nprobe = min(nprobe, self.nlist)
         if refine_k > 0:
             # refining fewer than k candidates can't produce k results
@@ -190,12 +211,14 @@ class IVFPQIndex:
         kk = max(k, refine_k)
         q_rot = queries @ self.rotation if self.rotation is not None else queries
         v, i = _ivfpq_search_block(q_rot, self.centroids, self.codebooks,
-                                   self.codes, self.slot_ids, kk, nprobe, self.m)
+                                   self.codes, self.slot_ids, kk, nprobe,
+                                   self.m, backend=backend)
         if refine_k > 0:
             if refine_store is None:
                 raise ValueError("refine_k > 0 requires refine_store")
             v, i = _refine_block(queries, i[:, :refine_k],
-                                 refine_store.vectors, refine_store.scales, k)
+                                 refine_store.vectors, refine_store.scales, k,
+                                 backend=backend)
         return v[:, :k], i[:, :k]
 
     def search(
@@ -242,19 +265,25 @@ class IVFPQIndex:
             codebooks=np.asarray(self.codebooks),
             codes=np.asarray(self.codes),
             slot_ids=np.asarray(self.slot_ids),
-            meta=np.array([self.n, self.d, self.m, self.n_spilled], np.int64),
+            # 5th field = codes-layout version: 2 -> [nlist, M, Lcap]
+            meta=np.array([self.n, self.d, self.m, self.n_spilled, 2],
+                          np.int64),
         )
 
     @classmethod
     def load(cls, path: str) -> "IVFPQIndex":
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         rot = z["rotation"]
-        n, d, m, spilled = (int(x) for x in z["meta"])
+        meta = [int(x) for x in z["meta"]]
+        n, d, m, spilled = meta[:4]
+        codes = z["codes"]
+        if len(meta) < 5 or meta[4] < 2:
+            codes = np.ascontiguousarray(codes.transpose(0, 2, 1))  # v1 layout
         return cls(
             rotation=jnp.asarray(rot) if rot.size else None,
             centroids=jnp.asarray(z["centroids"]),
             codebooks=jnp.asarray(z["codebooks"]),
-            codes=jnp.asarray(z["codes"]),
+            codes=jnp.asarray(codes),
             slot_ids=jnp.asarray(z["slot_ids"]),
             n=n, d=d, m=m, n_spilled=spilled)
 

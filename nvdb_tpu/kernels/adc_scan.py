@@ -1,0 +1,140 @@
+"""Pallas IVF-PQ ADC scan: gather-free table lookups via nibble one-hot matmuls.
+
+The jnp ADC path (pq.adc_scores) materializes [B, P, M, L] gathered LUT slabs
+with ``take_along_axis`` — the "gathers are the make-or-break for IVF-PQ
+latency" risk SURVEY.md §7 flagged, and the reason round-1 IVF-PQ ran at
+13-25 ms. The reference spent its deepest kernel engineering on the same
+stage (cuda_refine.cu:326-838); this kernel is the TPU re-design:
+
+- Grid = (query b, probe j). Scalar-prefetched probe table drives the
+  BlockSpec index maps, so each step DMAs exactly one packed list's codes
+  [M, Lcap] HBM->VMEM (the DMA engine does the pointer chasing).
+- The 8-bit code lookup ``lut[m, code]`` is factorized into nibbles
+  (code = hi*16 + lo):  score[l] = sum_m  oh_hi[m,:,l]^T @ LUT3[m] @ oh_lo[m,:,l]
+  where LUT3 = lut reshaped [M, 16(hi), 16(lo)]. The lo contraction is ONE
+  batched-over-M MXU matmul [M,16,16] x [M,16,L]; the hi contraction is an
+  elementwise multiply-reduce on the VPU. Building two 16-wide one-hots
+  costs 16x fewer vector compares than a direct 256-wide one-hot — the
+  construction, not the matmul, is where ADC time goes on a TPU.
+- No gathers, no relayouts: codes are stored [nlist, M, Lcap] (list-major,
+  subspace rows, slot lanes) so the one-hot broadcast-compare is layout-
+  native; the LUT arrives pre-split as [B, P, M, 16, 16].
+
+Precision: the one-hot is exact in bf16; LUT entries are rounded to bf16
+for the matmul (~3 decimal digits). ADC scores only rank candidates — the
+exact refine stage re-scores survivors in f32 — so the tests gate on
+ranking agreement, not bitwise equality, vs the f32 jnp oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nvdb_tpu.kernels.flat_scan import _merge_topk_sorted, NEG_INF
+
+
+def _make_kernel(k: int, m: int, lcap: int):
+    def kernel(probes_ref, lut_ref, codes_ref, sids_ref,
+               vals_out, ids_out, vals_scr, ids_scr):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            vals_scr[:] = jnp.full(vals_scr.shape, NEG_INF, dtype=jnp.float32)
+            ids_scr[:] = jnp.full(ids_scr.shape, -1, dtype=jnp.int32)
+
+        codes = codes_ref[0].astype(jnp.int32)               # [M, L]
+        lo = (codes & 15)[:, None, :]                        # [M, 1, L]
+        hi = (codes >> 4)[:, None, :]
+        nib = jax.lax.broadcasted_iota(jnp.int32, (m, 16, lcap), 1)
+        oh_lo = (lo == nib).astype(jnp.bfloat16)             # [M, 16, L]
+        oh_hi = (hi == nib).astype(jnp.float32)
+
+        lut3 = lut_ref[0, 0].astype(jnp.bfloat16)            # [M, 16hi, 16lo]
+        # batched over M: t[m, a, l] = sum_b lut3[m, a, b] * oh_lo[m, b, l]
+        t = jax.lax.dot_general(
+            lut3, oh_lo, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # [M, 16, L]
+        # reduce to [1, L] in one sublane reduction over the merged [M*16, L]
+        # view — reducing the middle axis of the 3D form makes Mosaic emit a
+        # replicated-layout [M, L] intermediate it then fails to relayout
+        prod = (oh_hi * t).reshape(m * 16, lcap)
+        s = -jnp.sum(prod, axis=0, keepdims=True)            # [1, L] (max-is-best)
+
+        sids = sids_ref[0]                                   # [1, L]
+        s = jnp.where(sids >= 0, s, NEG_INF)
+
+        cvals = jnp.concatenate([vals_scr[0:1], s], axis=1)
+        cids = jnp.concatenate([ids_scr[0:1], sids], axis=1)
+        nv, ni = _merge_topk_sorted(cvals, cids, k)
+        vals_scr[0:1] = nv
+        ids_scr[0:1] = ni
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _emit():
+            vals_out[0] = vals_scr[0:1]
+            ids_out[0] = ids_scr[0:1]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def pallas_adc_topk(
+    lut: jax.Array,        # [B, P, M, 16, 16] f32 ADC tables (hi, lo split)
+    probes: jax.Array,     # [B, P] int32 probed list ids
+    codes_t: jax.Array,    # [nlist, M, Lcap] uint8 (transposed PQ codes)
+    slot_ids: jax.Array,   # [nlist, Lcap] int32 (-1 padding)
+    k: int,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k ADC candidates over each query's probed lists. Scores are
+    negated L2 ADC distances (larger is better). Oracle: pq.adc_scores."""
+    B, P = probes.shape
+    nlist, m, lcap = codes_t.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    kernel = _make_kernel(k, m, lcap)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, P),
+        in_specs=[
+            pl.BlockSpec((1, 1, m, 16, 16), lambda b, j, pr: (b, j, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, lcap), lambda b, j, pr: (pr[b, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lcap), lambda b, j, pr: (pr[b, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, k), lambda b, j, pr: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k), lambda b, j, pr: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, k), jnp.float32),
+            pltpu.VMEM((8, k), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1, k), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(probes.astype(jnp.int32), lut, codes_t,
+      slot_ids.reshape(nlist, 1, lcap))
+    return out[0].reshape(B, k), out[1].reshape(B, k)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from nvdb_tpu import config
 from nvdb_tpu.formats import gtbin, vecbin
 from nvdb_tpu.eval.harness import run_benchmark
 from nvdb_tpu.eval.recall import recall_at_k
@@ -27,7 +28,8 @@ def main(argv=None):
     p.add_argument("query")
     p.add_argument("k", type=int)
     p.add_argument("--batch-q", type=int, default=1)
-    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--warmup", type=int,
+                   default=config.EvalConfig.from_env().warmup)
     p.add_argument("--shards", type=int, default=1,
                    help=">1: row-shard the store over this many devices")
     p.add_argument("--gt", default=None, help="gtbin file for recall@k")

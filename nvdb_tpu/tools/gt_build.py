@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import time
 
+from nvdb_tpu import config
 from nvdb_tpu.formats import gtbin, vecbin
 from nvdb_tpu.tools._common import make_parser, setup_jax
 
@@ -17,8 +18,9 @@ def main(argv=None):
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--host", action="store_true",
+                   default=config.EvalConfig.from_env().gt_host,
                    help="build GT with the native C++ host scan instead of the "
-                        "device (independent oracle; GT_MODE analogue)")
+                        "device (independent oracle; GT_MODE=host analogue)")
     args = p.parse_args(argv)
 
     bf = vecbin.VecbinFile(args.base)

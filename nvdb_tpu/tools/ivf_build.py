@@ -1,14 +1,15 @@
 """Build an IVF-Flat or IVF-(O)PQ index from a vecbin base — the nvdb_ivf_build /
 nvdb_ivfpq_build analogue (apps/nvdb_ivf_build.cpp, apps/nvdb_ivfpq_build.cpp).
 
-Knobs keep the reference's env-var names in spirit: --nlist (IVF_NLIST),
---train (IVF_TRAIN), --pq-m (PQ_M), --opq/--no-opq (USE_OPQ), --opq-iters
-(OPQ_NITER)."""
+Flag defaults honor the reference's env vars via config.py: IVF_NLIST,
+IVF_TRAIN, PQ_M, USE_OPQ, OPQ_NITER (SURVEY.md §5 knob inventory), so the
+reference's sweep scripts translate 1:1; CLI flags override env."""
 
 from __future__ import annotations
 
 import time
 
+from nvdb_tpu import config
 from nvdb_tpu.formats import vecbin
 from nvdb_tpu.tools._common import make_parser, setup_jax
 
@@ -17,16 +18,19 @@ def main(argv=None):
     p = make_parser(__doc__)
     p.add_argument("base")
     p.add_argument("out", help="output index path (.npz)")
+    ivf_env = config.IVFConfig.from_env()
+    pq_env = config.PQConfig.from_env()
     p.add_argument("--kind", default="ivfflat", choices=["ivfflat", "ivfpq"])
-    p.add_argument("--nlist", type=int, default=1024)
-    p.add_argument("--train", type=int, default=50000)
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--nlist", type=int, default=ivf_env.nlist)
+    p.add_argument("--train", type=int, default=ivf_env.train_size)
+    p.add_argument("--iters", type=int, default=ivf_env.n_iters)
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "i8"],
                    help="packed payload dtype (ivfflat only)")
-    p.add_argument("--pq-m", type=int, default=48)
-    p.add_argument("--opq", dest="opq", action="store_true", default=True)
+    p.add_argument("--pq-m", type=int, default=pq_env.m)
+    p.add_argument("--opq", dest="opq", action="store_true",
+                   default=pq_env.use_opq)
     p.add_argument("--no-opq", dest="opq", action="store_false")
-    p.add_argument("--opq-iters", type=int, default=4)
+    p.add_argument("--opq-iters", type=int, default=pq_env.opq_iters)
     p.add_argument("--pad-factor", type=float, default=1.5)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)

@@ -1,46 +1,79 @@
 """IVF / IVF-PQ / refine eval harness — the nvdb_ivf_eval analogue
 (apps/nvdb_ivf_eval.cpp), the reference's most complex app.
 
-Reproduces its methodology: cached-gtbin recall with strict validation
-(nvdb_ivf_eval.cpp:355-383), warmup, ANN-vs-total latency split, the
-``RESULT key=value ...`` machine-parsable record (lines 729-779), and the
-nprobe x refine_k sweep grids (Performance.md:659-689) via repeatable flags.
+Reproduces its methodology:
+- cached-gtbin recall with strict validation (nvdb_ivf_eval.cpp:355-383)
+- the STAGED pipeline (PIPELINE=staged, lines 478-634): Stage A times ANN
+  candidate generation for all queries and stores the candidate ids; Stage B
+  times the exact refine pass separately. Per-query totals compose ANN +
+  amortized refine like lines 659-662 — refine cost is MEASURED per stage,
+  not inferred by subtracting two noisy full runs (round-1 weakness #4).
+- per-stage spans dumped as a self-describing TSV into ``NVDB_DBG_DIR``
+  (the CUDA_DBG_DIR analogue, nvdb_ivf_eval.cpp:47-126) via eval.trace.Tracer
+- the ``RESULT key=value ...`` machine-parsable record (lines 729-779)
+- env knobs via config.py: IVF_NPROBE, REFINE_K, WARMUP, EVAL_MODE=ann_only,
+  GT_PATH (same names as the reference, SURVEY.md §5)
 
-On TPU there is no H2D/D2H refine staging (candidates are reranked straight
-from the HBM store), so the reference's staged/interleaved PIPELINE split
-collapses; the refine cost is reported as the ANN-vs-total delta.
+Also reports ``cand_recall`` — the fraction of true top-k present in the
+refine candidate set — which separates coarse/ADC candidate quality from
+refine-stage ranking (the two failure modes the reference's ladder study
+distinguishes, Performance.md:619-625).
 """
 
 from __future__ import annotations
 
 import itertools
-
+import os
 
 import numpy as np
 
-from nvdb_tpu.eval.recall import recall_at_k
-from nvdb_tpu.eval.stats import result_line
+from nvdb_tpu import config
+from nvdb_tpu.eval.recall import candidate_recall, recall_at_k
+from nvdb_tpu.eval.stats import compute_stats, result_line
+from nvdb_tpu.eval.trace import Tracer
 from nvdb_tpu.formats import gtbin, vecbin
 from nvdb_tpu.tools._common import make_parser, setup_jax
 
 
+def _pad_pow2(b: int) -> int:
+    bp = 8
+    while bp < b:
+        bp *= 2
+    return bp
+
+
 def main(argv=None):
+    ivf_env = config.IVFConfig.from_env()
+    pq_env = config.PQConfig.from_env()
+    eval_env = config.EvalConfig.from_env()
+
     p = make_parser(__doc__)
     p.add_argument("index", help="index .npz from ivf_build")
     p.add_argument("base", help="base vecbin (refine store + GT dims)")
     p.add_argument("query")
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--nprobe", type=int, nargs="+", default=[32])
-    p.add_argument("--refine-k", type=int, nargs="+", default=[0],
+    p.add_argument("--nprobe", type=int, nargs="+", default=[ivf_env.nprobe])
+    p.add_argument("--refine-k", type=int, nargs="+",
+                   default=[pq_env.refine_k],
                    help="0 disables refine; sweeps the grid with --nprobe")
-    p.add_argument("--gt", default=None, help="cached gtbin (GT_PATH analogue)")
-    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--gt", default=eval_env.gt_path,
+                   help="cached gtbin (GT_PATH analogue)")
+    p.add_argument("--warmup", type=int, default=eval_env.warmup)
     p.add_argument("--batch-q", type=int, default=8)
+    p.add_argument("--ann-only", action="store_true",
+                   default=eval_env.ann_only,
+                   help="skip the refine stage (EVAL_MODE=ann_only)")
+    p.add_argument("--ivf-backend", default="auto",
+                   choices=["auto", "pallas", "jnp"],
+                   help="ADC/refine kernel backend (A/B kill switch)")
     p.add_argument("--shards", type=int, default=1,
                    help=">1: shard inverted lists over this many devices "
-                        "(ivfflat only; nprobe becomes the TOTAL across shards)")
+                        "(nprobe becomes the TOTAL across shards)")
     args = p.parse_args(argv)
     setup_jax(args)
+
+    import jax
+    import jax.numpy as jnp
 
     from nvdb_tpu.index.ivf_flat import IVFFlatIndex
     from nvdb_tpu.index.ivf_pq import IVFPQIndex
@@ -53,13 +86,17 @@ def main(argv=None):
     kind = "ivfpq" if is_pq else "ivfflat"
 
     if args.shards > 1:
-        if is_pq:
-            raise SystemExit("--shards currently supports ivfflat only")
         from nvdb_tpu.dist import mesh as meshmod
-        from nvdb_tpu.dist.sharded_ivf import ShardedIVFFlatIndex
 
-        idx = ShardedIVFFlatIndex.from_index(idx, meshmod.row_mesh(args.shards))
-        kind = f"ivfflat-sharded{args.shards}"
+        if is_pq:
+            from nvdb_tpu.dist.sharded_ivf import ShardedIVFPQIndex
+
+            idx = ShardedIVFPQIndex.from_index(idx, meshmod.row_mesh(args.shards))
+        else:
+            from nvdb_tpu.dist.sharded_ivf import ShardedIVFFlatIndex
+
+            idx = ShardedIVFFlatIndex.from_index(idx, meshmod.row_mesh(args.shards))
+        kind = f"{kind}-sharded{args.shards}"
 
     qf = vecbin.VecbinFile(args.query)
     queries = qf.rows_f32()
@@ -74,54 +111,123 @@ def main(argv=None):
                 f"eval(Q={Q},k={args.k},N={idx.n})")
         gt_ids = np.asarray(g)
 
+    refine_ks = [0] if args.ann_only else list(args.refine_k)
     refine_store = None
-    if max(args.refine_k) > 0:
+    if max(refine_ks) > 0 and is_pq:
         refine_store = VectorStore.from_vecbin(args.base)
 
     print(f"kind={kind} nlist={idx.nlist} lcap={idx.lcap} N={idx.n} d={idx.d} "
           f"Q={Q} k={args.k} index_MB={idx.index_bytes/1e6:.1f}")
 
-    for nprobe, refine_k in itertools.product(args.nprobe, args.refine_k):
-        if kind == "ivfflat" and refine_k > 0:
+    b = max(args.batch_q, 1)
+    bp = _pad_pow2(b)
+    dp = idx.d if not hasattr(idx, "centroids") else idx.centroids.shape[1]
+    qpad = np.zeros(( (Q + b - 1) // b * b, dp), np.float32)
+    qpad[:Q, : queries.shape[1]] = queries
+    n_batches = qpad.shape[0] // b
+
+    dbg_dir = os.environ.get("NVDB_DBG_DIR")
+
+    for nprobe, refine_k in itertools.product(args.nprobe, refine_ks):
+        if kind.startswith("ivfflat") and refine_k > 0:
             # the flat payload is already exact — a refine pass would be a
             # no-op; skip the grid point instead of emitting fictitious
             # refine_enabled=1 stats (ADVICE r1)
             continue
+        do_refine = is_pq and refine_k > 0
+        kk = max(refine_k, args.k) if do_refine else args.k
+        tr = Tracer()
 
-        def search_fn(qs, k, nprobe=nprobe, refine_k=refine_k):
-            if kind == "ivfpq":
-                return idx.search(qs, k, nprobe, refine_k=refine_k,
-                                  refine_store=refine_store)
-            return idx.search(qs, k, nprobe)
+        def ann_step(qs_np, nprobe=nprobe, kk=kk):
+            block = np.zeros((bp, dp), np.float32)
+            block[: qs_np.shape[0]] = qs_np
+            if is_pq:
+                v, i = idx.search_device(jnp.asarray(block), kk, nprobe,
+                                         backend=args.ivf_backend)
+            else:
+                v, i = idx.search_device(jnp.asarray(block), kk, nprobe)
+            return np.asarray(i)[: qs_np.shape[0]]
 
-        # ANN-only timing (EVAL_MODE=ann_only analogue)
-        def ann_fn(qs, k, nprobe=nprobe):
-            return idx.search(qs, k, nprobe)
+        # ---- Stage A: ANN candidate generation (timed per batch) ----------
+        for w in range(min(args.warmup, n_batches)):
+            ann_step(qpad[w * b:(w + 1) * b])
+        cand = np.empty((qpad.shape[0], kk), np.int64)
+        ann_lat = []
+        for s in range(n_batches):
+            blk = qpad[s * b:(s + 1) * b]
+            with tr.span("ann"):
+                cand[s * b:(s + 1) * b] = ann_step(blk)
+            ann_lat.append(tr.samples_ms["ann"][-1])
+        ann_stats = compute_stats(ann_lat, n_queries=Q, batch_q=b)
 
-        from nvdb_tpu.eval.harness import run_benchmark
+        # ---- Stage B: exact refine over stored candidates -----------------
+        ref_stats = None
+        final_ids = cand[:Q, : args.k]
+        if do_refine:
+            from nvdb_tpu.index.ivf_pq import _refine_block
 
-        ids_ann, ann_stats = run_benchmark(ann_fn, queries, args.k,
-                                           batch_q=args.batch_q,
-                                           warmup=args.warmup)
-        ids, total_stats = run_benchmark(search_fn, queries, args.k,
-                                         batch_q=args.batch_q,
-                                         warmup=args.warmup)
-        recall = recall_at_k(ids, gt_ids, k=args.k) if gt_ids is not None else -1.0
+            backend = args.ivf_backend
+            if backend == "auto":
+                from nvdb_tpu.kernels.dispatch import default_backend
+                backend = default_backend()
+
+            def refine_step(qs_np, cand_np):
+                block = np.zeros((bp, dp), np.float32)
+                block[: qs_np.shape[0]] = qs_np
+                cpad = np.full((bp, refine_k), -1, np.int64)
+                cpad[: qs_np.shape[0]] = cand_np[:, :refine_k]
+                v, i = _refine_block(jnp.asarray(block),
+                                     jnp.asarray(cpad, dtype=jnp.int32),
+                                     refine_store.vectors, refine_store.scales,
+                                     args.k, backend=backend)
+                return np.asarray(i)[: qs_np.shape[0]]
+
+            for w in range(min(args.warmup, n_batches)):
+                refine_step(qpad[w * b:(w + 1) * b], cand[w * b:(w + 1) * b])
+            out = np.empty((qpad.shape[0], args.k), np.int64)
+            ref_lat = []
+            for s in range(n_batches):
+                blk = qpad[s * b:(s + 1) * b]
+                with tr.span("refine"):
+                    out[s * b:(s + 1) * b] = refine_step(
+                        blk, cand[s * b:(s + 1) * b])
+                ref_lat.append(tr.samples_ms["refine"][-1])
+            ref_stats = compute_stats(ref_lat, n_queries=Q, batch_q=b)
+            final_ids = out[:Q]
+
+        recall = (recall_at_k(final_ids, gt_ids, k=args.k)
+                  if gt_ids is not None else -1.0)
+        cand_recall = (candidate_recall(cand[:Q], gt_ids, k=args.k)
+                       if (gt_ids is not None and do_refine) else recall)
 
         print(f"\n--- nprobe={nprobe} refine_k={refine_k} ---")
-        print("ANN-only:")
+        print("ANN-only (stage A):")
         print(ann_stats.render())
-        print("TOTAL:")
-        print(total_stats.render())
+        refine_ms_per_q = 0.0
+        if ref_stats is not None:
+            print("Refine (stage B):")
+            print(ref_stats.render())
+            refine_ms_per_q = ref_stats.avg_ms
         if recall >= 0:
-            print(f"recall@{args.k}={recall:.4f}")
+            print(f"recall@{args.k}={recall:.4f} cand_recall={cand_recall:.4f}")
+        if dbg_dir:
+            os.makedirs(dbg_dir, exist_ok=True)
+            tr.dump_tsv(os.path.join(
+                dbg_dir, f"stages_{kind}_np{nprobe}_r{refine_k}_"
+                         f"q{Q}_k{args.k}.tsv"))
+
+        # total = per-query ANN + amortized refine (nvdb_ivf_eval.cpp:659-662)
         print(result_line(
             kind=kind, refine_k=refine_k, nprobe=nprobe, Q=Q, k=args.k,
-            refine_enabled=int(refine_k > 0), refine_backend="tpu-fused",
+            batch_q=b, backend=args.ivf_backend,
+            refine_enabled=int(do_refine), refine_backend="tpu-fused",
             ann_avg_ms=ann_stats.avg_ms, ann_p99_ms=ann_stats.p99_ms,
-            total_avg_ms=total_stats.avg_ms, total_p99_ms=total_stats.p99_ms,
-            refine_ms_per_q=max(total_stats.avg_ms - ann_stats.avg_ms, 0.0),
-            qps=total_stats.qps, recall=recall,
+            refine_ms_per_q=refine_ms_per_q,
+            total_avg_ms=ann_stats.avg_ms + refine_ms_per_q,
+            total_p99_ms=ann_stats.p99_ms + refine_ms_per_q,
+            qps=(1000.0 / (ann_stats.avg_ms + refine_ms_per_q)
+                 if ann_stats.avg_ms + refine_ms_per_q > 0 else 0.0),
+            recall=recall, cand_recall=cand_recall,
             index_mb=idx.index_bytes / 1e6))
 
 

@@ -1,0 +1,66 @@
+"""Pallas ADC kernel (interpret mode) vs the jnp gather oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nvdb_tpu.formats import synth
+from nvdb_tpu.index.ivf_pq import IVFPQIndex, _ivfpq_search_block
+
+
+@pytest.fixture(scope="module")
+def built():
+    base = synth.low_rank(6000, 128, intrinsic=16, n_clusters=64, seed=3)
+    idx = IVFPQIndex.build(base, nlist=16, m=16, use_opq=True,
+                           train_size=4000, seed=0)
+    queries, _ = synth.sample_queries(base, 8, seed=5, perturb=0.02)
+    qp = np.zeros((8, idx.centroids.shape[1]), np.float32)
+    qp[:, :128] = queries
+    return idx, jnp.asarray(qp)
+
+
+def _run(idx, qp, k, nprobe, backend):
+    q_rot = qp @ idx.rotation if idx.rotation is not None else qp
+    return _ivfpq_search_block(q_rot, idx.centroids, idx.codebooks,
+                               idx.codes, idx.slot_ids, k, nprobe, idx.m,
+                               backend=backend)
+
+
+@pytest.mark.parametrize("nprobe,k", [(4, 10), (8, 32)])
+def test_pallas_adc_matches_jnp(built, nprobe, k):
+    idx, qp = built
+    jv, ji = _run(idx, qp, k, nprobe, "jnp")
+    pv, pi = _run(idx, qp, k, nprobe, "pallas")
+    jv, ji = np.asarray(jv), np.asarray(ji)
+    pv, pi = np.asarray(pv), np.asarray(pi)
+    # the kernel rounds LUT entries to bf16, so gate on ranking agreement:
+    # the candidate sets must overlap heavily and scores must be close
+    for r in range(ji.shape[0]):
+        inter = len(set(ji[r].tolist()) & set(pi[r].tolist()))
+        assert inter >= int(0.8 * k), (r, ji[r], pi[r])
+    np.testing.assert_allclose(pv, jv, rtol=2e-2, atol=2e-2)
+    # ids valid and unique
+    assert (pi >= 0).all()
+    for row in pi:
+        assert len(set(row.tolist())) == k
+
+
+def test_pallas_adc_end_to_end_refine(built):
+    """Full search_device with refine through the pallas ADC backend."""
+    idx, qp = built
+    base = synth.low_rank(6000, 128, intrinsic=16, n_clusters=64, seed=3)
+
+    class _Store:
+        vectors = jnp.asarray(
+            np.pad(base, ((0, 0), (0, idx.centroids.shape[1] - 128))))
+        scales = None
+
+    v_j, i_j = idx.search_device(qp, 10, nprobe=8, refine_k=40,
+                                 refine_store=_Store, backend="jnp")
+    v_p, i_p = idx.search_device(qp, 10, nprobe=8, refine_k=40,
+                                 refine_store=_Store, backend="pallas")
+    # refine re-scores exactly in f32, so the two backends must agree
+    # wherever their candidate sets overlap; gate on strong agreement
+    agree = np.mean(np.asarray(i_j) == np.asarray(i_p))
+    assert agree > 0.9, agree

@@ -187,3 +187,40 @@ def test_streamed_vecbin_load_i8(mesh8, data, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(st.vectors)[: st.n, : st.d], q8)
     np.testing.assert_array_equal(np.asarray(st.scales)[: st.n], sc)
+
+
+def test_sharded_ivfpq(mesh8, data):
+    """PQ lists sharded over 8 devices: full probing + refine must recover the
+    exact top-k; partial probing must be close to the single-device index."""
+    from nvdb_tpu.index.ivf_pq import IVFPQIndex
+    from nvdb_tpu.dist.sharded_ivf import ShardedIVFPQIndex
+
+    base, queries = data
+    ref_ids, s64 = _oracle_ids(base, queries, 10)
+    pqi = IVFPQIndex.build(base, nlist=40, m=16, use_opq=False,
+                           train_size=4000, seed=4)
+    sh = ShardedIVFPQIndex.from_index(pqi, mesh8)
+    assert sh.nlist % 8 == 0
+
+    dp = sh.centroids.shape[1]
+
+    class _Store:
+        vectors = jnp.asarray(np.pad(base, ((0, 0), (0, dp - base.shape[1]))))
+        scales = None
+
+    # full probing + deep exact refine recovers the exact top-k (L2 == dot
+    # rank on normalized rows)
+    _, ids_full = sh.search(queries, 10, nprobe=sh.nlist, refine_k=200,
+                            refine_store=_Store)
+    got64 = np.take_along_axis(s64, ids_full.astype(np.int64), axis=1)
+    ref64 = np.take_along_axis(s64, ref_ids, axis=1)
+    np.testing.assert_allclose(got64, ref64, atol=1e-4, rtol=0)
+    assert ids_full.max() < 4000
+
+    # partial probing: ADC-only candidates close to single-device ADC
+    def rec(ids):
+        return sum(len(set(a.tolist()) & set(b.tolist()))
+                   for a, b in zip(ids, ref_ids)) / ref_ids.size
+    _, ids_sh = sh.search(queries, 10, nprobe=16)
+    _, ids_1d = pqi.search(queries, 10, nprobe=16)
+    assert rec(ids_sh) >= rec(ids_1d) - 0.1

@@ -1,0 +1,60 @@
+"""Pallas exact-rerank kernel (interpret mode) vs the jnp gather oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nvdb_tpu.kernels import ops
+from nvdb_tpu.kernels.rerank import pallas_rerank
+
+
+def _gathered(base, cand):
+    rows = np.where(cand[..., None] >= 0, base[np.maximum(cand, 0)], 0)
+    return jnp.asarray(rows)
+
+
+@pytest.mark.parametrize("dtype", ["f32", "bf16", "i8"])
+def test_rerank_matches_oracle(dtype):
+    rng = np.random.default_rng(7)
+    N, D, B, R, k = 4096, 256, 8, 100, 10
+    base = rng.standard_normal((N, D), dtype=np.float32)
+    q = rng.standard_normal((B, D), dtype=np.float32)
+    cand = np.stack([rng.choice(N, R, replace=False) for _ in range(B)]
+                    ).astype(np.int32)
+    cand[0, 50:] = -1  # padded candidates must rank last / never win
+
+    scales = None
+    if dtype == "i8":
+        amax = np.abs(base).max(axis=1)
+        sc = (amax / 127).astype(np.float32)
+        store = np.clip(np.round(base / sc[:, None]), -127, 127).astype(np.int8)
+        eff = store.astype(np.float32) * sc[:, None]
+        scales = jnp.asarray(sc)
+    elif dtype == "bf16":
+        store = jnp.asarray(base).astype(jnp.bfloat16)
+        eff = np.asarray(store, dtype=np.float32)
+    else:
+        store = base
+        eff = base
+
+    pv, pi = pallas_rerank(jnp.asarray(q), jnp.asarray(cand),
+                           jnp.asarray(store), scales, k)
+    jv, ji = ops.exact_rerank(jnp.asarray(q), _gathered(eff, cand),
+                              jnp.asarray(cand), k)
+    assert np.mean(np.asarray(pi) == np.asarray(ji)) == 1.0
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_rerank_chunk_not_dividing_r():
+    rng = np.random.default_rng(9)
+    N, D, B, R, k = 1024, 128, 8, 37, 5   # R % chunk != 0
+    base = rng.standard_normal((N, D), dtype=np.float32)
+    q = rng.standard_normal((B, D), dtype=np.float32)
+    cand = np.stack([rng.choice(N, R, replace=False) for _ in range(B)]
+                    ).astype(np.int32)
+    pv, pi = pallas_rerank(jnp.asarray(q), jnp.asarray(cand),
+                           jnp.asarray(base), None, k, chunk=16)
+    jv, ji = ops.exact_rerank(jnp.asarray(q), _gathered(base, cand),
+                              jnp.asarray(cand), k)
+    assert np.mean(np.asarray(pi) == np.asarray(ji)) == 1.0
