@@ -140,6 +140,12 @@ class IVFPQIndex:
         pad_factor: float = 2.5,
         spill_candidates: int = 4,
         seed: int = 0,
+        # codebook quality knobs (round-1 recall gap, VERDICT next-round #2):
+        # residuals exist for ALL rows anyway, so codebooks train on a much
+        # larger slice than the coarse quantizer, with more Lloyd iterations
+        # (FAISS trains PQ with 25 iters on ~256 pts/centroid)
+        cb_train_size: Optional[int] = None,   # None -> min(n, 262144)
+        cb_iters: int = 12,
     ) -> "IVFPQIndex":
         n, d = rows_f32.shape
         dp = round_up(d, 128)
@@ -182,8 +188,10 @@ class IVFPQIndex:
         list_of[slot_ids[li, si]] = li
         residuals = data_rot - cents_np[list_of]
 
+        tcb = min(n, cb_train_size or 262144)
         key, kb = jax.random.split(key)
-        cb = pq.train_codebooks(kb, jnp.asarray(residuals[:t]), m, n_iters=6)
+        cb = pq.train_codebooks(kb, jnp.asarray(residuals[:tcb]), m,
+                                n_iters=cb_iters)
 
         codes_rows = np.asarray(_encode_chunked(jnp.asarray(residuals), cb, m))
         codes = np.zeros((nlist, m, lcap), np.uint8)

@@ -112,7 +112,10 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
         rest = list(rest)
         s_ref = rest.pop(0) if has_scales else None
         qs_ref = rest.pop(0) if has_qscales else None
-        vals_out, ids_out, vals_scr, ids_scr = rest
+        if merge == "rounds":
+            vals_out, ids_out, vals_scr, ids_scr = rest
+        else:
+            vals_out, ids_out, vals_scr, ids_scr, s_scr = rest
 
         n_valid = n_ref[0]  # scalar-prefetch: valid row count (may be traced)
         i = pl.program_id(0)
@@ -135,9 +138,8 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
         s = jnp.where(valid, s, NEG_INF)
         # padding rows carry id -1 (all -1 entries are -inf, so the merge's
         # mask-by-id sweep over them is a no-op and empty slots emit -1)
-        gcol = jnp.where(valid, gcol, -1)
-
         if merge == "rounds":
+            gcol = jnp.where(valid, gcol, -1)
             # Legacy always-merge: k rounds over [B, k+T] every tile. O(k*T)
             # VPU work dominates the MXU matmul for B >= 256 (round-1 bench).
             cvals = jnp.concatenate([vals_scr[:], s], axis=1)
@@ -153,48 +155,83 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
 
             return
 
-        # "extract" merge: unsorted [B, K_LANES] slot buffer, min-slot
-        # replacement (TopKBuffer semantics, topK.h:23-49). One pass counts
-        # per-row improvers vs the current k-th value; a dynamic fori_loop
-        # then runs max(count) extraction rounds (clamped to k: an element
-        # with >= k better tile-mates can never enter the merged top-k).
-        # Expected rounds in steady state: 1-3 — merge work is ~5 vector
-        # passes over [B, T], independent of k. The round-1 objection to
-        # per-tile scalar predicates (one vector->scalar sync per tile) is
+        # "extract"/"pipeline" merge: unsorted [B, K_LANES] slot buffer,
+        # min-slot replacement (TopKBuffer semantics, topK.h:23-49). One pass
+        # counts per-row improvers vs the current k-th value; a dynamic
+        # fori_loop then runs max(count) extraction rounds (clamped to k: an
+        # element with >= k better tile-mates can never enter the merged
+        # top-k). Expected rounds in steady state: 1-3 — merge work is ~5
+        # vector passes over [B, T], independent of k. The round-1 objection
+        # to per-tile scalar predicates (one vector->scalar sync per tile) is
         # paid ONCE per tile here and buys skipping k-ish full passes.
+        #
+        # The masked score array lives in a VMEM scratch ref (s_scr), NOT a
+        # fori_loop carry: a multi-MB loop-carried vector (e.g. [512, 2048]
+        # f32 = 512 vregs) blows up Mosaic register allocation — compiles
+        # that took >1 h with the carry finish in ~1 min with the ref.
         lane = jax.lax.broadcasted_iota(jnp.int32, (B, K_LANES), 1)
         live = lane < k
-        vals0 = vals_scr[:]
-        ids0 = ids_scr[:]
-        theta0 = jnp.min(jnp.where(live, vals0, POS_INF), axis=1, keepdims=True)
-        cnt = jnp.sum((s > theta0).astype(jnp.int32), axis=1)     # [B]
-        c = jnp.minimum(jnp.max(cnt), k)                          # scalar
 
-        def body(_, carry):
-            s_c, vals_c, ids_c = carry
-            m = jnp.max(s_c, axis=1, keepdims=True)               # [B, 1]
-            idv = jnp.max(jnp.where(s_c == m, gcol, -1), axis=1, keepdims=True)
-            s_c = jnp.where(gcol == idv, NEG_INF, s_c)
-            vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
-                           keepdims=True)
-            keep = m > vmin                                       # [B, 1]
-            slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
-                           axis=1, keepdims=True)
-            do = keep & (lane == slot)
-            vals_c = jnp.where(do, m, vals_c)
-            ids_c = jnp.where(do, idv, ids_c)
-            return s_c, vals_c, ids_c
+        def merge_scr(tile_idx):
+            """Fold s_scr (scores of tile ``tile_idx``) into the slot buffer."""
+            gc = jax.lax.broadcasted_iota(jnp.int32, (B, tile_rows), 1) \
+                + tile_idx * tile_rows
+            gc = jnp.where(gc < n_valid, gc, -1)
+            s_t = s_scr[:]
+            theta0 = jnp.min(jnp.where(live, vals_scr[:], POS_INF), axis=1,
+                             keepdims=True)
+            cnt = jnp.sum((s_t > theta0).astype(jnp.int32), axis=1)  # [B]
+            c = jnp.minimum(jnp.max(cnt), k)                         # scalar
 
-        _, vals1, ids1 = jax.lax.fori_loop(0, c, body, (s, vals0, ids0))
-        vals_scr[:] = vals1
-        ids_scr[:] = ids1
+            def body(_, carry):
+                vals_c, ids_c = carry
+                s_c = s_scr[:]
+                m = jnp.max(s_c, axis=1, keepdims=True)              # [B, 1]
+                idv = jnp.max(jnp.where(s_c == m, gc, -1), axis=1,
+                              keepdims=True)
+                s_scr[:] = jnp.where(gc == idv, NEG_INF, s_c)
+                vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+                               keepdims=True)
+                keep = m > vmin                                      # [B, 1]
+                slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
+                               axis=1, keepdims=True)
+                do = keep & (lane == slot)
+                vals_c = jnp.where(do, m, vals_c)
+                ids_c = jnp.where(do, idv, ids_c)
+                return vals_c, ids_c
 
-        @pl.when(i == pl.num_programs(0) - 1)
-        def _emit_sorted():
-            # one-time O(k * K_LANES) sort of the slot buffer, descending
-            sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
-            vals_out[:] = sv
-            ids_out[:] = si
+            vals1, ids1 = jax.lax.fori_loop(
+                0, c, body, (vals_scr[:], ids_scr[:]))
+            vals_scr[:] = vals1
+            ids_scr[:] = ids1
+
+        if merge == "pipeline":
+            # Software-pipelined by one tile: merge tile i-1's scores (in
+            # s_scr) while the MXU computes tile i's matmul — the two chains
+            # are independent, so the VLIW scheduler can overlap VPU merge
+            # work with MXU cycles instead of serializing them.
+            @pl.when(i > 0)
+            def _merge_prev():
+                merge_scr(i - 1)
+
+            s_scr[:] = s
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _final():
+                merge_scr(i)
+                sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
+                vals_out[:] = sv
+                ids_out[:] = si
+        else:
+            s_scr[:] = s
+            merge_scr(i)
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _emit_sorted():
+                # one-time O(k * K_LANES) sort of the slot buffer, descending
+                sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
+                vals_out[:] = sv
+                ids_out[:] = si
 
     return kernel
 
@@ -211,7 +248,9 @@ def _pick_tile_rows(n_padded: int, dtype, d_padded: int, batch: int = 8,
     T=1024 compiles at ~14 MB scoped vmem, B=1024/T=512 OOMs at 17.4 MB);
     the "extract" merge carries the score block through a fori_loop (~2x)."""
     bpe = jnp.dtype(dtype).itemsize
-    score_tmp = 3.0 if merge == "rounds" else 2.0
+    # rounds: concat temporaries ~3x the score block; extract: score block +
+    # its VMEM scratch copy + loop temporaries ~3x
+    score_tmp = 3.0
     budget = 12 * 1024 * 1024
     resident = batch * d_padded * 4 + batch * K_LANES * 8
     t = 4096
@@ -237,7 +276,7 @@ def pallas_flat_topk(
         raise ValueError(f"k={k} exceeds MAX_K={MAX_K}")
     if merge is None:
         merge = os.environ.get("NVDB_MERGE", "extract")
-    if merge not in ("extract", "rounds"):
+    if merge not in ("extract", "pipeline", "rounds"):
         raise ValueError(f"unknown merge mode {merge!r}")
     B, Dp = queries.shape
     Np = vectors.shape[0]
@@ -277,10 +316,12 @@ def pallas_flat_topk(
             pl.BlockSpec((B, k), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, k), lambda i, n: (0, 0), memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((B, k if merge == "rounds" else K_LANES), jnp.float32),
-            pltpu.VMEM((B, k if merge == "rounds" else K_LANES), jnp.int32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((B, k), jnp.float32), pltpu.VMEM((B, k), jnp.int32)]
+            if merge == "rounds" else
+            [pltpu.VMEM((B, K_LANES), jnp.float32),
+             pltpu.VMEM((B, K_LANES), jnp.int32),
+             pltpu.VMEM((B, T), jnp.float32)]),
     )
 
     bpe = jnp.dtype(vectors.dtype).itemsize
@@ -294,6 +335,9 @@ def pallas_flat_topk(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # carried scratch: sequential grid
+            # v5e has 128 MB VMEM; the default 16 MB scoped limit rejects the
+            # extract merge's live temporaries (~2x the modeled working set)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,

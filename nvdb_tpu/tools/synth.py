@@ -22,6 +22,10 @@ def main(argv=None):
                    help=">0: low-intrinsic-dimension manifold data (the "
                         "realistic regime for PQ/OPQ; real embeddings are "
                         "low-rank)")
+    p.add_argument("--hard", type=int, default=0, metavar="INTRINSIC",
+                   help=">0: hierarchical Zipf topic corpus with strong "
+                        "overlap — recall-vs-nprobe actually slopes (the "
+                        "regime of the reference's nlist x nprobe surface)")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "i8"])
     p.add_argument("--raw12", action="store_true", help="legacy raw12 header")
     args = p.parse_args(argv)
@@ -33,7 +37,11 @@ def main(argv=None):
         done = 0
         while done < args.count:
             n = min(chunk, args.count - done)
-            if args.low_rank > 0:
+            if args.hard > 0:
+                rows = synth.hard(n, args.dim, intrinsic=args.hard,
+                                  topics=max(args.clusters, 256),
+                                  seed=args.seed, chunk_seed=done)
+            elif args.low_rank > 0:
                 rows = synth.low_rank(n, args.dim, intrinsic=args.low_rank,
                                       n_clusters=max(args.clusters, 64),
                                       spread=args.spread, seed=args.seed,

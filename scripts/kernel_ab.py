@@ -64,12 +64,16 @@ def main():
                 tile = args.tile or flat_scan._pick_tile_rows(
                     Np, base.dtype, Dp, B, merge)
 
-                def run(q):
+                # base/scales are jit ARGUMENTS — closing over a device
+                # array bakes it into the compiled module as a constant
+                # (hour-long remote compiles, HTTP 413; see CLAUDE.md)
+                def run(q, base, scales):
                     return flat_scan.pallas_flat_topk(
                         q, base, scales, args.n, k, tile_rows=tile,
                         merge=merge)
 
-                runj = jax.jit(run)
+                runj_ = jax.jit(run)
+                runj = lambda q: runj_(q, base, scales)
                 q0, q1 = qpool[:B], qpool[B:2 * B]
                 t0 = time.perf_counter()
                 v0, i0 = runj(q0)

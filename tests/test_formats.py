@@ -160,3 +160,44 @@ def test_clustered_chunked_shares_centers():
     assert sims.min() > 0.98
     # but the chunks themselves are different draws
     assert not np.allclose(a[:10], b[:10])
+
+
+def test_hard_corpus_recall_slopes():
+    """The hard() generator must produce a sloping recall-vs-nprobe curve —
+    the property the round-1 sweeps lacked (flat lines at every nprobe)."""
+    import numpy as np
+    from nvdb_tpu.formats import synth
+    from nvdb_tpu.index.ivf_flat import IVFFlatIndex
+
+    base = synth.hard(8000, 64, intrinsic=16, topics=128, seed=1)
+    assert np.allclose(np.linalg.norm(base, axis=1), 1.0, atol=1e-4)
+    queries, _ = synth.sample_queries(base, 32, seed=2, perturb=0.05)
+    s = queries @ base.T
+    gt = np.argsort(-s, axis=1)[:, :10]
+    idx = IVFFlatIndex.build(base, nlist=128, dtype="f32", n_iters=6, seed=0)
+
+    def rec(npb):
+        _, ids = idx.search(queries, 10, nprobe=npb)
+        return np.mean([len(set(ids[q].tolist()) & set(gt[q].tolist()))
+                        for q in range(32)]) / 10
+
+    r1, r16, r64 = rec(1), rec(16), rec(64)
+    assert r1 < 0.92, r1            # hard at low nprobe
+    assert r16 > r1 + 0.05, (r1, r16)  # climbs with probes
+    assert r64 > 0.93, r64          # recoverable at high nprobe
+
+
+def test_hard_corpus_chunked_consistent():
+    """Chunked generation shares topic geometry (same seed, different
+    chunk_seed) so 'clusters' exist globally across chunks."""
+    import numpy as np
+    from nvdb_tpu.formats import synth
+
+    a = synth.hard(2000, 64, intrinsic=16, topics=64, seed=5, chunk_seed=0)
+    b = synth.hard(2000, 64, intrinsic=16, topics=64, seed=5, chunk_seed=2000)
+    c = synth.hard(2000, 64, intrinsic=16, topics=64, seed=6, chunk_seed=0)
+    # same-seed chunks share topic geometry: cross-chunk nearest neighbors
+    # must be markedly closer than chunks drawn with independent centers
+    same = np.mean((a @ b.T).max(axis=1))
+    diff = np.mean((a @ c.T).max(axis=1))
+    assert same > diff + 0.03, (same, diff)
