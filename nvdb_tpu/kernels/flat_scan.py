@@ -106,6 +106,14 @@ def _scores(q: jax.Array, tile: jax.Array, scale_row: Optional[jax.Array],
     return s
 
 
+def _stride_classes(tile_rows: int) -> int:
+    """Class count for the "stride" merge: tile columns folded mod C by
+    lane-aligned slicing (no relayouts). 512 keeps the extraction rounds
+    narrow while holding the same-class collision (repair) rate under ~1%
+    of tiles at 1M x B=512."""
+    return min(512, tile_rows)
+
+
 def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
                  merge: str = "extract"):
     def kernel(n_ref, q_ref, v_ref, *rest):
@@ -114,6 +122,8 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
         qs_ref = rest.pop(0) if has_qscales else None
         if merge == "rounds":
             vals_out, ids_out, vals_scr, ids_scr = rest
+        elif merge in ("stride", "chunk"):
+            vals_out, ids_out, vals_scr, ids_scr, s_scr, rm_scr = rest
         else:
             vals_out, ids_out, vals_scr, ids_scr, s_scr = rest
 
@@ -130,12 +140,27 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
         # the int8 DMA savings)
         scale_row = s_ref[0] if s_ref is not None else None      # [1, T]
         q_scale_col = qs_ref[:] if qs_ref is not None else None  # [B, 1]
-        s = _scores(q_ref[:], v_ref[:], scale_row, q_scale_col)  # [B, T]
+        B = q_ref.shape[0]
+        if merge == "chunk":
+            s = gcol = valid = None  # scored per column-chunk below
+        else:
+            s = _scores(q_ref[:], v_ref[:], scale_row, q_scale_col)  # [B, T]
+            gcol = (jax.lax.broadcasted_iota(jnp.int32, (B, tile_rows), 1)
+                    + i * tile_rows)
+            valid = gcol < n_valid
+            s = jnp.where(valid, s, NEG_INF)
 
-        B = s.shape[0]
-        gcol = jax.lax.broadcasted_iota(jnp.int32, (B, tile_rows), 1) + i * tile_rows
-        valid = gcol < n_valid
-        s = jnp.where(valid, s, NEG_INF)
+        if merge == "mmonly":
+            # DIAGNOSTIC floor: matmul only (plus a 128-lane touch of the
+            # result to defeat DCE). Results are WRONG — perf A/B only.
+            vals_scr[:] = jnp.maximum(vals_scr[:], s[:, :K_LANES])
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _emit_mm():
+                vals_out[:] = vals_scr[:, :k]
+                ids_out[:] = ids_scr[:, :k]
+
+            return
         # padding rows carry id -1 (all -1 entries are -inf, so the merge's
         # mask-by-id sweep over them is a no-op and empty slots emit -1)
         if merge == "rounds":
@@ -181,7 +206,20 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
             theta0 = jnp.min(jnp.where(live, vals_scr[:], POS_INF), axis=1,
                              keepdims=True)
             cnt = jnp.sum((s_t > theta0).astype(jnp.int32), axis=1)  # [B]
-            c = jnp.minimum(jnp.max(cnt), k)                         # scalar
+            if merge == "nomerge":
+                # DIAGNOSTIC floor: matmul + scratch write + count pass, no
+                # extraction and no vector->scalar sync. Results are WRONG —
+                # perf A/B only (cnt folded into the buffer to defeat DCE).
+                vals_scr[:] = jnp.where(
+                    lane == 0, cnt[:, None].astype(jnp.float32), vals_scr[:])
+                return
+            if merge == "fixed2":
+                # DIAGNOSTIC: static 2-round extraction (no jnp.max(cnt)
+                # scalar read, no dynamic trip count). Results approximate —
+                # isolates the cost of the dynamic bound vs the loop body.
+                c = 2
+            else:
+                c = jnp.minimum(jnp.max(cnt), k)                     # scalar
 
             def body(_, carry):
                 vals_c, ids_c = carry
@@ -204,6 +242,148 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
                 0, c, body, (vals_scr[:], ids_scr[:]))
             vals_scr[:] = vals1
             ids_scr[:] = ids1
+
+        def narrow_rounds(rm0, rmid, c):
+            """c max-extraction rounds over the NARROW per-class maxima
+            [B, C] (same min-slot insertion semantics as merge_scr, ~C/T
+            the VPU/VMEM cost per round)."""
+            Cw = rm0.shape[1]
+            ccol = jax.lax.broadcasted_iota(jnp.int32, (B, Cw), 1)
+            rm_scr[:] = rm0
+
+            def body(_, carry):
+                vals_c, ids_c = carry
+                r = rm_scr[:]
+                m1 = jnp.max(r, axis=1, keepdims=True)            # [B, 1]
+                j = jnp.max(jnp.where(r == m1, ccol, -1), axis=1,
+                            keepdims=True)
+                idv = jnp.max(jnp.where(r == m1, rmid, -1), axis=1,
+                              keepdims=True)
+                rm_scr[:] = jnp.where(ccol == j, NEG_INF, r)
+                vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+                               keepdims=True)
+                keep = m1 > vmin
+                slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
+                               axis=1, keepdims=True)
+                do = keep & (lane == slot)
+                vals_c = jnp.where(do, m1, vals_c)
+                ids_c = jnp.where(do, idv, ids_c)
+                return vals_c, ids_c
+
+            vals1, ids1 = jax.lax.fori_loop(
+                0, c, body, (vals_scr[:], ids_scr[:]))
+            vals_scr[:] = vals1
+            ids_scr[:] = ids1
+
+        if merge == "chunk":
+            # Fused scoring+merge: the tile's matmul is issued as T/C
+            # column-chunk sub-matmuls [B, Dp] x [Dp, C], and each hot
+            # [B, C] result folds straight into running per-class state —
+            #   rm  (f32)  class max                (class = col mod C)
+            #   rmx (int8) chunk index of that max
+            #   cn  (int8) improver count (> theta0) per class
+            # so the merge does ZERO separate full-width passes over [B, T]
+            # and the straight-line chunk loop lets the VLIW scheduler
+            # overlap the VPU folds with the next chunk's MXU matmul.
+            # Extraction then runs on the narrow [B, C] maxima; a class
+            # holding >= 2 improvers would hide its runner-up behind the
+            # class max, so such tiles (cn >= 2 anywhere — incl. buffer
+            # warmup where theta0 is -inf; ~1% of tiles at 1M/B=512) fall
+            # back to full-width extraction over s_scr, which the chunk
+            # loop has already populated.
+            C = _stride_classes(tile_rows)
+            nch = tile_rows // C
+            theta0 = jnp.min(jnp.where(live, vals_scr[:], POS_INF), axis=1,
+                             keepdims=True)                       # [B, 1]
+            qv = q_ref[:]
+            ccol = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+            rm = rmx = cn = None
+            for cc in range(nch):
+                vc = v_ref[cc * C:(cc + 1) * C, :]
+                sr_c = (scale_row[:, cc * C:(cc + 1) * C]
+                        if scale_row is not None else None)
+                sc = _scores(qv, vc, sr_c, q_scale_col)           # [B, C]
+                vld = (ccol + (i * tile_rows + cc * C)) < n_valid
+                sc = jnp.where(vld, sc, NEG_INF)
+                s_scr[:, cc * C:(cc + 1) * C] = sc
+                imp = (sc > theta0).astype(jnp.int8)
+                if cc == 0:
+                    rm, rmx, cn = sc, jnp.zeros((B, C), jnp.int8), imp
+                else:
+                    take = sc > rm
+                    rm = jnp.where(take, sc, rm)
+                    rmx = jnp.where(take, jnp.int8(cc), rmx)
+                    cn = cn + imp
+            cnt = jnp.sum(cn.astype(jnp.int32), axis=1)           # [B]
+            c = jnp.minimum(jnp.max(cnt), k)                      # scalar
+            clean = jnp.max(cn) < 2                               # scalar
+            rmid = rmx.astype(jnp.int32) * C + ccol + i * tile_rows
+
+            @pl.when(clean)
+            def _narrow_c():
+                narrow_rounds(rm, rmid, c)
+
+            @pl.when(jnp.logical_not(clean))
+            def _full_c():
+                merge_scr(i)
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _emit_chunk():
+                sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
+                vals_out[:] = sv
+                ids_out[:] = si
+
+            return
+
+        if merge == "stride":
+            # Steady-state merge with NO full-width extraction passes.
+            # Fold the tile's T columns into C classes (class = col mod C)
+            # with lane-aligned slices — no relayouts:
+            #   rm[b,c]  = max over the T/C stride-mates        (1 read of s)
+            #   cn[b,c]  = improver count (> theta0) per class  (same read)
+            #   rmid     = global id of each class max          (2nd read)
+            # Extraction rounds then run over the NARROW [B,C] class maxima
+            # (~free) instead of [B,T]. Exactness: a class with >= 2
+            # improvers would hide its runner-up behind the class max, so
+            # such tiles (cn >= 2 anywhere; ~1% at 1M/B=512, plus the
+            # buffer-warmup tiles where theta0 is still -inf) fall back to
+            # the full-width dynamic extraction — same result, just slower.
+            C = _stride_classes(tile_rows)
+            nstr = tile_rows // C
+            theta0 = jnp.min(jnp.where(live, vals_scr[:], POS_INF), axis=1,
+                             keepdims=True)                       # [B, 1]
+            sl = [s[:, m * C:(m + 1) * C] for m in range(nstr)]
+            rm = sl[0]
+            cn = (sl[0] > theta0).astype(jnp.int32)
+            for m in range(1, nstr):
+                rm = jnp.maximum(rm, sl[m])
+                cn = cn + (sl[m] > theta0).astype(jnp.int32)
+            ccol = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+            rmid = jnp.full((B, C), -1, dtype=jnp.int32)
+            for m in range(nstr):
+                rmid = jnp.maximum(
+                    rmid, jnp.where(sl[m] == rm,
+                                    ccol + (m * C + i * tile_rows), -1))
+            cnt = jnp.sum(cn, axis=1)                             # [B]
+            c = jnp.minimum(jnp.max(cnt), k)                      # scalar
+            clean = jnp.max(cn) < 2                               # scalar bool
+
+            @pl.when(clean)
+            def _narrow():
+                narrow_rounds(rm, rmid, c)
+
+            @pl.when(jnp.logical_not(clean))
+            def _full():
+                s_scr[:] = s
+                merge_scr(i)
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _emit_stride():
+                sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
+                vals_out[:] = sv
+                ids_out[:] = si
+
+            return
 
         if merge == "pipeline":
             # Software-pipelined by one tile: merge tile i-1's scores (in
@@ -276,7 +456,8 @@ def pallas_flat_topk(
         raise ValueError(f"k={k} exceeds MAX_K={MAX_K}")
     if merge is None:
         merge = os.environ.get("NVDB_MERGE", "extract")
-    if merge not in ("extract", "pipeline", "rounds"):
+    if merge not in ("extract", "pipeline", "rounds", "stride", "chunk",
+                     "nomerge", "fixed2", "mmonly"):
         raise ValueError(f"unknown merge mode {merge!r}")
     B, Dp = queries.shape
     Np = vectors.shape[0]
@@ -321,7 +502,9 @@ def pallas_flat_topk(
             if merge == "rounds" else
             [pltpu.VMEM((B, K_LANES), jnp.float32),
              pltpu.VMEM((B, K_LANES), jnp.int32),
-             pltpu.VMEM((B, T), jnp.float32)]),
+             pltpu.VMEM((B, T), jnp.float32)]
+            + ([pltpu.VMEM((B, _stride_classes(T)), jnp.float32)]
+               if merge in ("stride", "chunk") else [])),
     )
 
     bpe = jnp.dtype(vectors.dtype).itemsize

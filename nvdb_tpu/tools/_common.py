@@ -35,6 +35,13 @@ def setup_jax(args) -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/nvdb_jax_tool_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # Multi-host entry: a no-op unless NVDB_COORD/NVDB_NPROC/NVDB_PROC_ID (or
+    # NVDB_MULTIHOST=1 on a pod runtime) are set — every tool then joins the
+    # global runtime before its first backend use (docs/SCALE_100M.md).
+    from nvdb_tpu.dist import multihost
+    if multihost.init_from_env():
+        print(f"# {multihost.process_summary()}", file=sys.stderr)
+
 
 def fail(msg: str, code: int = 1):
     print(f"error: {msg}", file=sys.stderr)
