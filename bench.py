@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16", "i8"])
+    ap.add_argument("--qi8", action="store_true",
+                    help="with --dtype i8: quantize queries too (native "
+                         "i8 x i8 MXU matmul, half the HBM bytes)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU validation")
@@ -59,7 +62,7 @@ def main():
 
     # synthesize the store on-device (host->device of GBs through the relay is
     # not part of the measured workload)
-    Np = round_up(args.n, 2048)
+    Np = round_up(args.n, 4096)  # let the auto tile picker reach T=4096
     Dp = round_up(args.d, 128)
     key = jax.random.PRNGKey(0)
     base_f32 = jax.random.normal(key, (Np, Dp), dtype=jnp.float32)
@@ -87,12 +90,33 @@ def main():
     def scan_nos(q, v):
         return dispatch.flat_topk(q, v, None, n_valid, k, backend="auto")
 
-    def run(qs):
-        if scales is not None:
-            return scan(qs, base, scales)
-        return scan_nos(qs, base)
+    @jax.jit
+    def scan_qi8(qi, qs, v, s):
+        return dispatch.flat_topk(qi, v, s, n_valid, k, backend="auto",
+                                  query_scales=qs)
 
     B = args.batch
+    if args.qi8:
+        assert args.dtype == "i8", "--qi8 requires --dtype i8"
+        # query quantization is a one-time client-side step, not part of
+        # the per-scan loop (the reference keeps queries f32; this is the
+        # opt-in native-int8 path, _scores i8 x i8 branch)
+        amaxq = jnp.max(jnp.abs(qpool), axis=1)
+        qsc = jnp.where(amaxq > 0, amaxq / 127.0, 1.0)
+        qpool_i8 = jax.block_until_ready(jnp.clip(
+            jnp.round(qpool / qsc[:, None]), -127, 127).astype(jnp.int8))
+
+        def run(qs_slice, i8slices=None):
+            lo = run.idx[0] * B
+            hi = lo + B
+            run.idx[0] = (run.idx[0] + 1) % 4
+            return scan_qi8(qpool_i8[lo:hi], qsc[lo:hi], base, scales)
+        run.idx = [0]
+    else:
+        def run(qs):
+            if scales is not None:
+                return scan(qs, base, scales)
+            return scan_nos(qs, base)
     slices = [qpool[i * B:(i + 1) * B] for i in range(4)]
 
     # warmup / compile (reference warms up too, nvdb_bench.cpp:317-322)
@@ -119,7 +143,8 @@ def main():
         f"{qps:.1f} QPS  {gbps:.1f} GB/s effective")
 
     baseline_qps = 57.4  # reference 1M FP16 flat scan, OMP@8 (384-D!)
-    metric = f"flatscan_{args.dtype}_{args.n//1000}Kx{args.d}_b{B}_qps"
+    dt = "i8xi8" if args.qi8 else args.dtype
+    metric = f"flatscan_{dt}_{args.n//1000}Kx{args.d}_b{B}_qps"
     print(json.dumps({
         "metric": metric,
         "value": round(qps, 1),

@@ -124,6 +124,8 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
             vals_out, ids_out, vals_scr, ids_scr = rest
         elif merge in ("stride", "chunk"):
             vals_out, ids_out, vals_scr, ids_scr, s_scr, rm_scr = rest
+        elif merge == "pipeline2":
+            vals_out, ids_out, vals_scr, ids_scr, s_scr, s_scr2 = rest
         else:
             vals_out, ids_out, vals_scr, ids_scr, s_scr = rest
 
@@ -142,13 +144,13 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
         q_scale_col = qs_ref[:] if qs_ref is not None else None  # [B, 1]
         B = q_ref.shape[0]
         if merge == "chunk":
-            s = gcol = valid = None  # scored per column-chunk below
+            s = s_raw = gcol = valid = None  # scored per column-chunk below
         else:
-            s = _scores(q_ref[:], v_ref[:], scale_row, q_scale_col)  # [B, T]
+            s_raw = _scores(q_ref[:], v_ref[:], scale_row, q_scale_col)  # [B,T]
             gcol = (jax.lax.broadcasted_iota(jnp.int32, (B, tile_rows), 1)
                     + i * tile_rows)
             valid = gcol < n_valid
-            s = jnp.where(valid, s, NEG_INF)
+            s = jnp.where(valid, s_raw, NEG_INF)
 
         if merge == "mmonly":
             # DIAGNOSTIC floor: matmul only (plus a 128-lane touch of the
@@ -197,12 +199,14 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
         lane = jax.lax.broadcasted_iota(jnp.int32, (B, K_LANES), 1)
         live = lane < k
 
-        def merge_scr(tile_idx):
-            """Fold s_scr (scores of tile ``tile_idx``) into the slot buffer."""
+        def merge_scr(tile_idx, ref=None):
+            """Fold ``ref`` (scores of tile ``tile_idx``, already tail-masked
+            to -inf beyond n_valid) into the slot buffer."""
+            ref = s_scr if ref is None else ref
             gc = jax.lax.broadcasted_iota(jnp.int32, (B, tile_rows), 1) \
                 + tile_idx * tile_rows
             gc = jnp.where(gc < n_valid, gc, -1)
-            s_t = s_scr[:]
+            s_t = ref[:]
             theta0 = jnp.min(jnp.where(live, vals_scr[:], POS_INF), axis=1,
                              keepdims=True)
             cnt = jnp.sum((s_t > theta0).astype(jnp.int32), axis=1)  # [B]
@@ -223,11 +227,11 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
 
             def body(_, carry):
                 vals_c, ids_c = carry
-                s_c = s_scr[:]
+                s_c = ref[:]
                 m = jnp.max(s_c, axis=1, keepdims=True)              # [B, 1]
                 idv = jnp.max(jnp.where(s_c == m, gc, -1), axis=1,
                               keepdims=True)
-                s_scr[:] = jnp.where(gc == idv, NEG_INF, s_c)
+                ref[:] = jnp.where(gc == idv, NEG_INF, s_c)
                 vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
                                keepdims=True)
                 keep = m > vmin                                      # [B, 1]
@@ -306,18 +310,21 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
                 vld = (ccol + (i * tile_rows + cc * C)) < n_valid
                 sc = jnp.where(vld, sc, NEG_INF)
                 s_scr[:, cc * C:(cc + 1) * C] = sc
-                imp = (sc > theta0).astype(jnp.int8)
+                # int32 class bookkeeping: Mosaic vectors are i32-native;
+                # i8/i16 selects force an (8,128)->(16/32,128) mask relayout
+                # the compiler rejects against f32-compare masks
+                imp = (sc > theta0).astype(jnp.int32)
                 if cc == 0:
-                    rm, rmx, cn = sc, jnp.zeros((B, C), jnp.int8), imp
+                    rm, rmx, cn = sc, jnp.zeros((B, C), jnp.int32), imp
                 else:
                     take = sc > rm
                     rm = jnp.where(take, sc, rm)
-                    rmx = jnp.where(take, jnp.int8(cc), rmx)
+                    rmx = jnp.where(take, jnp.int32(cc), rmx)
                     cn = cn + imp
-            cnt = jnp.sum(cn.astype(jnp.int32), axis=1)           # [B]
+            cnt = jnp.sum(cn, axis=1)                             # [B]
             c = jnp.minimum(jnp.max(cnt), k)                      # scalar
             clean = jnp.max(cn) < 2                               # scalar
-            rmid = rmx.astype(jnp.int32) * C + ccol + i * tile_rows
+            rmid = rmx * C + ccol + i * tile_rows
 
             @pl.when(clean)
             def _narrow_c():
@@ -385,6 +392,57 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
 
             return
 
+        # NOTE: tail-masking only boundary tiles via a traced pl.when was
+        # measured SLOWER (10.7 vs 9.2 ms at 1M/B=512): per-tile traced
+        # conditionals cost ~6 us each in Mosaic. The mask stays on the
+        # unconditional value path.
+        if merge == "chain":
+            # Like "extract" but the rounds carry only the previous round's
+            # (max, id) pair and recompute liveness arithmetically —
+            #   live = s < m_prev  |  (s == m_prev  &  gc < id_prev)
+            # (ties extract in descending-id order, so the pair fully
+            # determines the frontier). No masked-score mutation: the rounds
+            # read the matmul value in place, eliminating both the s_scr
+            # copy and the 8.4 MB mask-write per round.
+            theta0 = jnp.min(jnp.where(live, vals_scr[:], POS_INF), axis=1,
+                             keepdims=True)
+            gcm = jnp.where(valid, gcol, -1)
+            cnt = jnp.sum((s > theta0).astype(jnp.int32), axis=1)
+            c = jnp.minimum(jnp.max(cnt), k)
+
+            def body_ch(_, carry):
+                vals_c, ids_c, m_p, id_p = carry
+                alive = (s < m_p) | ((s == m_p) & (gcm < id_p))
+                sm = jnp.where(alive, s, NEG_INF)
+                m = jnp.max(sm, axis=1, keepdims=True)
+                idv = jnp.max(jnp.where(sm == m, gcm, -1), axis=1,
+                              keepdims=True)
+                vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+                               keepdims=True)
+                keep = m > vmin
+                slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
+                               axis=1, keepdims=True)
+                do = keep & (lane == slot)
+                vals_c = jnp.where(do, m, vals_c)
+                ids_c = jnp.where(do, idv, ids_c)
+                return vals_c, ids_c, m, idv
+
+            vals1, ids1, _, _ = jax.lax.fori_loop(
+                0, c, body_ch,
+                (vals_scr[:], ids_scr[:],
+                 jnp.full((B, 1), POS_INF, jnp.float32),
+                 jnp.full((B, 1), 2**31 - 1, jnp.int32)))
+            vals_scr[:] = vals1
+            ids_scr[:] = ids1
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _emit_chain():
+                sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
+                vals_out[:] = sv
+                ids_out[:] = si
+
+            return
+
         if merge == "pipeline":
             # Software-pipelined by one tile: merge tile i-1's scores (in
             # s_scr) while the MXU computes tile i's matmul — the two chains
@@ -399,6 +457,42 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
             @pl.when(i == pl.num_programs(0) - 1)
             def _final():
                 merge_scr(i)
+                sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
+                vals_out[:] = sv
+                ids_out[:] = si
+        elif merge == "pipeline2":
+            # Like "pipeline" but with PING-PONG score buffers: the merge of
+            # tile i-1 reads buffer (i-1)%2 while the matmul of tile i writes
+            # buffer i%2 — no write-after-read hazard on one buffer forcing
+            # Mosaic to serialize merge -> copy -> matmul within a grid step.
+            even = i % 2 == 0
+
+            @pl.when(even)
+            def _wr_a():
+                s_scr[:] = s
+
+            @pl.when(jnp.logical_not(even))
+            def _wr_b():
+                s_scr2[:] = s
+
+            @pl.when((i > 0) & even)
+            def _merge_b():
+                merge_scr(i - 1, s_scr2)
+
+            @pl.when((i > 0) & jnp.logical_not(even))
+            def _merge_a():
+                merge_scr(i - 1, s_scr)
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _final2():
+                @pl.when(even)
+                def _last_a():
+                    merge_scr(i, s_scr)
+
+                @pl.when(jnp.logical_not(even))
+                def _last_b():
+                    merge_scr(i, s_scr2)
+
                 sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
                 vals_out[:] = sv
                 ids_out[:] = si
@@ -428,12 +522,15 @@ def _pick_tile_rows(n_padded: int, dtype, d_padded: int, batch: int = 8,
     T=1024 compiles at ~14 MB scoped vmem, B=1024/T=512 OOMs at 17.4 MB);
     the "extract" merge carries the score block through a fori_loop (~2x)."""
     bpe = jnp.dtype(dtype).itemsize
-    # rounds: concat temporaries ~3x the score block; extract: score block +
-    # its VMEM scratch copy + loop temporaries ~3x
-    score_tmp = 3.0
-    budget = 12 * 1024 * 1024
+    # rounds/extract: score block + VMEM scratch copy + loop temporaries ~3x
+    # the [B, T] f32 block; chunk: s_scr + one live [B, C] chunk's
+    # temporaries ~1.5x. Budget calibrated against the 100 MB scoped-vmem
+    # limit passed to pallas_call (Mosaic's real allocation runs ~2x the
+    # modeled working set; 40 MB modeled ~= 80 MB allocated, v5e has 128).
+    score_tmp = 1.5 if merge == "chunk" else 3.0
+    budget = 40 * 1024 * 1024
     resident = batch * d_padded * 4 + batch * K_LANES * 8
-    t = 4096
+    t = 8192
     while t > 8 and (2 * t * d_padded * bpe + score_tmp * batch * t * 4
                      + resident > budget or n_padded % t != 0):
         t //= 2
@@ -456,8 +553,8 @@ def pallas_flat_topk(
         raise ValueError(f"k={k} exceeds MAX_K={MAX_K}")
     if merge is None:
         merge = os.environ.get("NVDB_MERGE", "extract")
-    if merge not in ("extract", "pipeline", "rounds", "stride", "chunk",
-                     "nomerge", "fixed2", "mmonly"):
+    if merge not in ("extract", "chain", "pipeline", "pipeline2", "rounds",
+                     "stride", "chunk", "nomerge", "fixed2", "mmonly"):
         raise ValueError(f"unknown merge mode {merge!r}")
     B, Dp = queries.shape
     Np = vectors.shape[0]
@@ -504,7 +601,9 @@ def pallas_flat_topk(
              pltpu.VMEM((B, K_LANES), jnp.int32),
              pltpu.VMEM((B, T), jnp.float32)]
             + ([pltpu.VMEM((B, _stride_classes(T)), jnp.float32)]
-               if merge in ("stride", "chunk") else [])),
+               if merge in ("stride", "chunk") else [])
+            + ([pltpu.VMEM((B, T), jnp.float32)]
+               if merge == "pipeline2" else [])),
     )
 
     bpe = jnp.dtype(vectors.dtype).itemsize

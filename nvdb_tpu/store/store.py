@@ -32,7 +32,7 @@ _JNP_BY_CODE = {
     vecbin.DTYPE_I8: jnp.int8,
 }
 
-DEFAULT_ROW_BLOCK = 1024
+DEFAULT_ROW_BLOCK = 4096  # divisible tile sizes up to the VMEM-model max
 
 
 @dataclasses.dataclass

@@ -19,8 +19,8 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("merge", ["extract", "pipeline", "rounds", "stride",
-                                   "chunk"])
+@pytest.mark.parametrize("merge", ["extract", "pipeline", "pipeline2",
+                                   "rounds", "stride", "chunk"])
 @pytest.mark.parametrize("n_pad,n,d,b,k,tile,dtype", CASES)
 def test_fuzz_case(n_pad, n, d, b, k, tile, dtype, merge):
     rng_seed = hash((n_pad, n, d, b, k)) % 2**31
