@@ -317,3 +317,59 @@ class ShardedIVFPQIndex:
         v, i = self.search_device(jnp.asarray(block), k, nprobe,
                                   refine_k=refine_k, refine_store=refine_store)
         return np.asarray(v)[:qn], np.asarray(i)[:qn]
+
+
+class ShardedPartitionIndex:
+    """Sharded partition-then-rerank index — the multi-chip form of the
+    hnswlib replacement (index/partition.py). Partitions (packed bf16 lists)
+    shard across the mesh exactly like IVF-Flat; the optional exact f32/bf16
+    rerank runs on the all_gather-merged global candidate ids against the
+    refine store, mirroring ShardedIVFPQIndex's post-merge refine."""
+
+    def __init__(self, ivf: ShardedIVFFlatIndex, refine_store=None):
+        self.ivf = ivf
+        self.refine_store = refine_store
+
+    @classmethod
+    def from_index(cls, pr, mesh: Optional[Mesh] = None
+                   ) -> "ShardedPartitionIndex":
+        """pr: a PartitionRerankIndex (its refine store stays single-device —
+        candidates are merged to global ids before the rerank gather)."""
+        return cls(ShardedIVFFlatIndex.from_index(pr.ivf, mesh),
+                   pr.refine_store)
+
+    @property
+    def n(self) -> int:
+        return self.ivf.n
+
+    @property
+    def nlist(self) -> int:
+        return self.ivf.nlist
+
+    @property
+    def lcap(self) -> int:
+        return self.ivf.lcap
+
+    @property
+    def d(self) -> int:
+        return self.ivf.d
+
+    @property
+    def index_bytes(self) -> int:
+        return self.ivf.index_bytes
+
+    def search(self, queries: np.ndarray, k: int, nprobe: int,
+               rerank_k: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+        if rerank_k <= k or self.refine_store is None:
+            v, i = self.ivf.search(queries, k, nprobe)
+            return v[:, :k], i[:, :k]
+        vals, ids = self.ivf.search(queries, rerank_k, nprobe)
+        from nvdb_tpu.kernels import ops
+
+        store = self.refine_store
+        q = jnp.asarray(store.pad_queries(np.atleast_2d(queries)))
+        cid = jnp.asarray(ids, dtype=jnp.int32)
+        rows = jnp.take(store.vectors, jnp.maximum(cid, 0), axis=0)
+        rv, ri = ops.exact_rerank(q, rows.astype(jnp.float32), cid, k,
+                                  metric="dot")
+        return np.asarray(rv), np.asarray(ri)

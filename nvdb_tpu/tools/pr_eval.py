@@ -30,6 +30,9 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--tune", type=float, default=None,
                    help="report the smallest nprobe hitting this recall")
+    p.add_argument("--shards", type=int, default=1,
+                   help=">1: shard partitions over this many devices "
+                        "(nprobe becomes the TOTAL across shards)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -46,6 +49,7 @@ def main(argv=None):
                                      with_refine=args.rerank_k > 0)
     print(f"partitions={idx.ivf.nlist} lcap={idx.ivf.lcap} "
           f"index_MB={idx.index_bytes/1e6:.1f} N={idx.n}")
+    kind = "partition-rerank"
 
     if args.gt:
         info, g = gtbin.read_gtbin(args.gt)
@@ -61,6 +65,14 @@ def main(argv=None):
         best = idx.tune_nprobe(queries, gt_ids, args.k, target_recall=args.tune)
         print(f"tuned nprobe for recall>={args.tune}: {best}")
 
+    if args.shards > 1:
+        from nvdb_tpu.dist import mesh as meshmod
+        from nvdb_tpu.dist.sharded_ivf import ShardedPartitionIndex
+
+        idx = ShardedPartitionIndex.from_index(
+            idx, meshmod.row_mesh(args.shards))
+        kind = f"partition-rerank-sharded{args.shards}"
+
     for np_ in args.nprobe:
         def search_fn(qs, k, np_=np_):
             return idx.search(qs, k, np_, rerank_k=args.rerank_k)
@@ -72,7 +84,7 @@ def main(argv=None):
         print(stats.render())
         print(f"recall@{args.k}={recall:.4f}")
         print(result_line(
-            kind="partition-rerank", nprobe=np_, rerank_k=args.rerank_k,
+            kind=kind, nprobe=np_, rerank_k=args.rerank_k,
             Q=queries.shape[0], k=args.k, dtype=args.dtype,
             avg_ms=stats.avg_ms, p99_ms=stats.p99_ms, qps=stats.qps,
             recall=recall, index_mb=idx.index_bytes / 1e6))

@@ -224,3 +224,30 @@ def test_sharded_ivfpq(mesh8, data):
     _, ids_sh = sh.search(queries, 10, nprobe=16)
     _, ids_1d = pqi.search(queries, 10, nprobe=16)
     assert rec(ids_sh) >= rec(ids_1d) - 0.1
+
+
+def test_sharded_partition(mesh8, data):
+    """Sharded partition-then-rerank (the multi-chip hnswlib replacement):
+    full probing + exact rerank == oracle; partial probing ~= single-device."""
+    from nvdb_tpu.dist.sharded_ivf import ShardedPartitionIndex
+    from nvdb_tpu.index.partition import PartitionRerankIndex
+
+    base, queries = data
+    ref_ids, s64 = _oracle_ids(base, queries, 10)
+    pr = PartitionRerankIndex.build(base, nlist=40, with_refine=True, seed=5)
+    sh = ShardedPartitionIndex.from_index(pr, mesh8)
+    assert sh.nlist % 8 == 0
+
+    _, ids_full = sh.search(queries, 10, nprobe=sh.nlist, rerank_k=50)
+    got64 = np.take_along_axis(s64, ids_full.astype(np.int64), axis=1)
+    ref64 = np.take_along_axis(s64, ref_ids, axis=1)
+    np.testing.assert_allclose(got64, ref64, atol=1e-4, rtol=0)
+    assert ids_full.max() < 4000
+
+    def rec(ids):
+        return sum(len(set(a.tolist()) & set(b.tolist()))
+                   for a, b in zip(ids, ref_ids)) / ref_ids.size
+
+    _, ids_sh = sh.search(queries, 10, nprobe=16, rerank_k=50)
+    _, ids_1d = pr.search(queries, 10, nprobe=16, rerank_k=50)
+    assert rec(ids_sh) >= rec(ids_1d) - 0.1
