@@ -64,19 +64,49 @@ def main():
     # not part of the measured workload)
     Np = round_up(args.n, 4096)  # let the auto tile picker reach T=4096
     Dp = round_up(args.d, 128)
-    key = jax.random.PRNGKey(0)
-    base_f32 = jax.random.normal(key, (Np, Dp), dtype=jnp.float32)
     scales = None
-    if args.dtype == "bf16":
-        base = base_f32.astype(jnp.bfloat16)
-    elif args.dtype == "i8":
-        amax = jnp.max(jnp.abs(base_f32), axis=1)
-        scales = jnp.where(amax > 0, amax / 127.0, 1.0)
-        base = jnp.clip(jnp.round(base_f32 / scales[:, None]), -127, 127).astype(jnp.int8)
-    else:
-        base = base_f32
-    del base_f32
+
+    # chunked on-device synthesis: the f32 intermediate of one chunk (<=1.5GB)
+    # is freed before the next, so capacity demos (16M x 768 int8 = 12.3 GB
+    # resident on a 16 GB chip) don't OOM on a full-size f32 staging array
+    chunk = min(Np, 1 << 19)
+    while Np % chunk != 0:
+        chunk //= 2
+
+    @jax.jit
+    def synth_chunk(key):
+        x = jax.random.normal(key, (chunk, Dp), dtype=jnp.float32)
+        if args.dtype == "bf16":
+            return x.astype(jnp.bfloat16), None
+        if args.dtype == "i8":
+            amax = jnp.max(jnp.abs(x), axis=1)
+            sc = jnp.where(amax > 0, amax / 127.0, 1.0)
+            q = jnp.clip(jnp.round(x / sc[:, None]), -127, 127).astype(jnp.int8)
+            return q, sc
+        return x, None
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def place(buf, part, r0):
+        return jax.lax.dynamic_update_slice(buf, part, (r0, 0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def place1(buf, part, r0):
+        return jax.lax.dynamic_update_slice(buf, part, (r0,))
+
+    store_dt = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                "i8": jnp.int8}[args.dtype]
+    base = jnp.zeros((Np, Dp), dtype=store_dt)
+    scales = jnp.ones((Np,), jnp.float32) if args.dtype == "i8" else None
+    for ci in range(Np // chunk):
+        b_c, s_c = synth_chunk(jax.random.PRNGKey(ci))
+        base = place(base, b_c, ci * chunk)   # donated: updated in place
+        if s_c is not None:
+            scales = place1(scales, s_c, ci * chunk)
     base = jax.block_until_ready(base)
+    if scales is not None:
+        scales = jax.block_until_ready(scales)
     qpool = jax.block_until_ready(
         jax.random.normal(jax.random.PRNGKey(1), (args.batch * 4, Dp), jnp.float32))
 
