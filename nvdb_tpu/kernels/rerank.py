@@ -9,9 +9,19 @@ table (the DMA engine does the pointer chasing; no [B, R, Dp] gather slab is
 ever materialized in HBM, which is 2x less traffic than the jnp
 take+einsum path in ops.exact_rerank, its oracle).
 
+Mosaic alignment: dynamic dim-0 slices of a tiled HBM memref must be
+8-row aligned, so a single candidate row cannot be DMA'd directly. The
+store is viewed as [Np/8, 8, Dp] (dim 0 untiled), the aligned 8-row block
+containing each candidate is copied, all 8 rows are scored on the MXU and
+the 7 wrong ones are masked by comparing each lane's sublane position to
+``cid & 7`` — branch-free, no relayouts, and it removes the round-1
+scalar id-select loop entirely (candidate ids/scales arrive as normal VMEM
+vector inputs instead).
+
 Scoring matches the reference refine semantics: exact L2 against the
 full-precision store, rank by  2*q.row - ||row||^2  (== -L2 + const ||q||^2,
-monotone), f32 accumulation, int8 rows dequantized by per-row scale.
+monotone), f32 accumulation, int8 rows dequantized by per-row scale
+(applied to the score: dot(q, s*r) = s*dot(q, r), ||s*r||^2 = s^2*||r||^2).
 """
 
 from __future__ import annotations
@@ -26,13 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nvdb_tpu.kernels.flat_scan import _merge_topk_sorted, NEG_INF
 
+_BLK = 8  # HBM sublane tile: the smallest alignable row-block
 
-def _make_kernel(k: int, chunk: int, r_pad: int, has_scales: bool):
-    def kernel(ids_ref, q_ref, v_hbm, *rest):
+
+def _make_kernel(k: int, chunk: int, has_scales: bool):
+    def kernel(ids_ref, q_ref, idv_ref, *rest):
         rest = list(rest)
-        s_hbm = rest.pop(0) if has_scales else None
-        vals_out, ids_out = rest[0], rest[1]
-        rows_vmem, scale_vmem, svals_scr, sids_scr, sem, ssem = rest[2:]
+        sc_ref = rest.pop(0) if has_scales else None
+        v_hbm, vals_out, ids_out, rows_vmem, svals_scr, sids_scr, sem = rest
 
         b = pl.program_id(0)
         j = pl.program_id(1)
@@ -42,46 +53,40 @@ def _make_kernel(k: int, chunk: int, r_pad: int, has_scales: bool):
             svals_scr[:] = jnp.full(svals_scr.shape, NEG_INF, jnp.float32)
             sids_scr[:] = jnp.full(sids_scr.shape, -1, jnp.int32)
 
-        # issue the chunk's row DMAs (invalid ids clamp to row 0; masked later)
+        # issue the chunk's block DMAs (invalid ids clamp to row 0; masked
+        # later). Each copies the aligned 8-row block holding candidate c.
         for c in range(chunk):
             cid = ids_ref[b, j * chunk + c]
-            safe = jnp.maximum(cid, 0)
+            blk = jnp.maximum(cid, 0) // _BLK
             pltpu.make_async_copy(
-                v_hbm.at[pl.ds(safe, 1)], rows_vmem.at[pl.ds(c, 1)], sem
+                v_hbm.at[pl.ds(blk, 1)], rows_vmem.at[pl.ds(c, 1)], sem
             ).start()
-            if s_hbm is not None:
-                pltpu.make_async_copy(
-                    s_hbm.at[0, pl.ds(safe, 1)], scale_vmem.at[0, pl.ds(c, 1)],
-                    ssem).start()
         for c in range(chunk):
             pltpu.make_async_copy(
                 v_hbm.at[pl.ds(0, 1)], rows_vmem.at[pl.ds(0, 1)], sem).wait()
-            if s_hbm is not None:
-                pltpu.make_async_copy(
-                    s_hbm.at[0, pl.ds(0, 1)], scale_vmem.at[0, pl.ds(0, 1)],
-                    ssem).wait()
 
-        rows = rows_vmem[:].astype(jnp.float32)              # [C, Dp]
-        if s_hbm is not None:
-            rows = rows * scale_vmem[0][:, None]             # dequant int8
+        w = chunk * _BLK
+        rows = rows_vmem[:].reshape(w, rows_vmem.shape[-1]).astype(jnp.float32)
         q = q_ref[0]                                         # [1, Dp]
         dots = jax.lax.dot_general(
             q, rows, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)              # [1, C]
-        r2 = jnp.sum(rows * rows, axis=1)[None, :]           # [1, C]
-        s = 2.0 * dots - r2
+            preferred_element_type=jnp.float32)              # [1, w]
+        r2 = jnp.sum(rows * rows, axis=1)[None, :]           # [1, w]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        # read the chunk's ids into a vector: SMEM scalars -> per-lane select
-        # (chunk is small; the final merge dominates anyway)
-        idvec = jnp.zeros((1, chunk), jnp.int32)
-        for c in range(chunk):
-            idvec = jnp.where(lane == c, ids_ref[b, j * chunk + c], idvec)
-        s = jnp.where(idvec >= 0, s, NEG_INF)
+        idrep = idv_ref[0, 0]                                # [1, w]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        keep = ((lane % _BLK) == (idrep % _BLK)) & (idrep >= 0)
+        if sc_ref is not None:
+            sc = sc_ref[0, 0]                                # [1, w]
+            s = 2.0 * sc * dots - (sc * sc) * r2
+        else:
+            s = 2.0 * dots - r2
+        s = jnp.where(keep, s, NEG_INF)
+        idm = jnp.where(keep, idrep, -1)  # merge needs unique live ids
 
         cvals = jnp.concatenate([svals_scr[0:1], s], axis=1)
-        cids = jnp.concatenate([sids_scr[0:1], idvec], axis=1)
+        cids = jnp.concatenate([sids_scr[0:1], idm], axis=1)
         nv, ni = _merge_topk_sorted(cvals, cids, k)
         svals_scr[0:1] = nv
         sids_scr[0:1] = ni
@@ -115,30 +120,50 @@ def pallas_rerank(
     if r_pad != R:
         cand_ids = jnp.pad(cand_ids, ((0, 0), (0, r_pad - R)),
                            constant_values=-1)
+    cand_ids = cand_ids.astype(jnp.int32)
+    nj = r_pad // chunk
 
-    kernel = _make_kernel(k, chunk, r_pad, scales is not None)
+    np_pad = ((vectors.shape[0] + _BLK - 1) // _BLK) * _BLK
+    if np_pad != vectors.shape[0]:
+        # stores pad capacity to >=8 already; this copy only hits tiny tests
+        vectors = jnp.pad(vectors, ((0, np_pad - vectors.shape[0]), (0, 0)))
+    v_blocks = vectors.reshape(np_pad // _BLK, _BLK, Dp)
+
+    # candidate ids pre-expanded 8x (lane p of candidate c holds cid_c, so the
+    # kernel masks by lane%8 == cid%8 with zero in-kernel relayouts); for int8
+    # stores the per-candidate scale rides the same way. [B, R] scalar
+    # gathers/repeats are XLA-side and tiny next to the row DMAs.
+    w = chunk * _BLK
+    idv = jnp.repeat(cand_ids, _BLK, axis=1).reshape(B, nj, 1, w)
+    kernel = _make_kernel(k, chunk, scales is not None)
 
     in_specs = [
         pl.BlockSpec((1, 1, Dp), lambda b, j, ids: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec((1, 1, 1, w), lambda b, j, ids: (b, j, 0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    args = [queries.reshape(B, 1, Dp), vectors]
+    args = [queries.reshape(B, 1, Dp), idv]
+    if scales is not None:
+        sc = jnp.take(scales, jnp.maximum(cand_ids, 0)).astype(jnp.float32)
+        sc = jnp.repeat(sc, _BLK, axis=1)
+        in_specs.append(
+            pl.BlockSpec((1, 1, 1, w), lambda b, j, ids: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(sc.reshape(B, nj, 1, w))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(v_blocks)
+
     scratch = [
-        pltpu.VMEM((chunk, Dp), vectors.dtype),
-        pltpu.VMEM((1, chunk), jnp.float32),
+        pltpu.VMEM((chunk, _BLK, Dp), vectors.dtype),
         pltpu.VMEM((8, k), jnp.float32),
         pltpu.VMEM((8, k), jnp.int32),
         pltpu.SemaphoreType.DMA,
-        pltpu.SemaphoreType.DMA,
     ]
-    if scales is not None:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
-        args.append(scales.reshape(1, -1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, r_pad // chunk),
+        grid=(B, nj),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, k), lambda b, j, ids: (b, 0, 0),
@@ -159,5 +184,5 @@ def pallas_rerank(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(cand_ids.astype(jnp.int32), *args)
+    )(cand_ids, *args)
     return out[0].reshape(B, k), out[1].reshape(B, k)
