@@ -48,6 +48,11 @@ def main():
 
     import jax
 
+    if args.smoke:
+        # the axon sitecustomize pins JAX_PLATFORMS=axon over the environment;
+        # only an in-process config update actually forces CPU (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
+
     # cache compiled executables (first pallas compile via the axon remote
     # compiler is ~5 min for the 1M config; cached re-runs are seconds)
     jax.config.update("jax_compilation_cache_dir", "/tmp/nvdb_jax_bench_cache")
