@@ -201,6 +201,59 @@ class IVFPQIndex:
                    codes=jnp.asarray(codes), slot_ids=jnp.asarray(slot_ids),
                    n=n, d=d, m=m, n_spilled=spilled)
 
+    @classmethod
+    def repack(
+        cls,
+        idx: "IVFPQIndex",
+        rows_f32: np.ndarray,
+        pad_factor: float = 5.0,
+        spill_candidates: int = 8,
+    ) -> "IVFPQIndex":
+        """Re-balance the inverted lists with a larger capacity / deeper spill
+        WITHOUT retraining rotation, coarse centroids, or PQ codebooks (those
+        are corpus-level; packing is layout — minutes instead of the full
+        k-means+OPQ build). The reference has no analogue: FAISS lists are
+        growable vectors with no capacity/coverage tradeoff, while the TPU
+        slab layout trades lcap (ADC bytes scanned per probe) against spill
+        (rows relegated to far lists, where probing misses them). On skewed
+        corpora the tight default packing costs real recall — repack walks
+        that frontier cheaply."""
+        n, d = rows_f32.shape
+        nlist = idx.nlist
+        dp = idx.centroids.shape[1]
+        m = idx.m
+        data_p = np.zeros((n, dp), np.float32)
+        data_p[:, :d] = rows_f32
+        if idx.rotation is not None:
+            data_rot = np.asarray(jnp.asarray(data_p) @ idx.rotation)
+        else:
+            data_rot = data_p
+
+        S = min(spill_candidates, nlist)
+        alts = np.asarray(_topS_centroids(jnp.asarray(data_rot),
+                                          idx.centroids, S))
+        lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 128)
+
+        dummy = np.zeros((n, 1), np.float32)
+        _, slot_ids, _, spilled = _pack_lists(
+            dummy, None, alts[:, 0], None, alts, nlist, lcap, 1)
+
+        cents_np = np.asarray(idx.centroids)
+        list_of = np.empty(n, np.int64)
+        li, si = np.nonzero(slot_ids >= 0)
+        list_of[slot_ids[li, si]] = li
+        residuals = data_rot - cents_np[list_of]
+
+        codes_rows = np.asarray(
+            _encode_chunked(jnp.asarray(residuals), idx.codebooks, m))
+        codes = np.zeros((nlist, m, lcap), np.uint8)
+        codes[li, :, si] = codes_rows[slot_ids[li, si]]
+
+        return cls(rotation=idx.rotation, centroids=idx.centroids,
+                   codebooks=idx.codebooks, codes=jnp.asarray(codes),
+                   slot_ids=jnp.asarray(slot_ids),
+                   n=n, d=d, m=m, n_spilled=spilled)
+
     # -- search ----------------------------------------------------------------
 
     def search_device(self, queries: jax.Array, k: int, nprobe: int,

@@ -31,7 +31,17 @@ def main(argv=None):
                    default=pq_env.use_opq)
     p.add_argument("--no-opq", dest="opq", action="store_false")
     p.add_argument("--opq-iters", type=int, default=pq_env.opq_iters)
-    p.add_argument("--pad-factor", type=float, default=1.5)
+    p.add_argument("--pad-factor", type=float, default=None,
+                   help="list capacity = pad_factor * N/nlist "
+                        "(default: 1.5 ivfflat, 2.5 ivfpq — codes are cheap)")
+    p.add_argument("--spill-candidates", type=int, default=4,
+                   help="overflow rows try their S nearest lists before the "
+                        "last-resort pour into any free list")
+    p.add_argument("--repack-from", default=None, metavar="IDX",
+                   help="ivfpq only: reuse a trained index's rotation/"
+                        "centroids/codebooks and only re-pack + re-encode the "
+                        "lists at the new --pad-factor/--spill-candidates "
+                        "(minutes instead of the full k-means+OPQ build)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     setup_jax(args)
@@ -39,21 +49,33 @@ def main(argv=None):
     from nvdb_tpu.index.ivf_flat import IVFFlatIndex
     from nvdb_tpu.index.ivf_pq import IVFPQIndex
 
+    if args.pad_factor is None:
+        args.pad_factor = 1.5 if args.kind == "ivfflat" else 2.5
     f = vecbin.VecbinFile(args.base)
     rows = f.rows_f32()
     t0 = time.perf_counter()
-    if args.kind == "ivfflat":
+    if args.repack_from:
+        if args.kind != "ivfpq":
+            p.error("--repack-from is ivfpq-only")
+        idx = IVFPQIndex.repack(
+            IVFPQIndex.load(args.repack_from), rows,
+            pad_factor=args.pad_factor,
+            spill_candidates=args.spill_candidates)
+    elif args.kind == "ivfflat":
         idx = IVFFlatIndex.build(
             rows, nlist=args.nlist, dtype=args.dtype, train_size=args.train,
-            n_iters=args.iters, pad_factor=args.pad_factor, seed=args.seed)
+            n_iters=args.iters, pad_factor=args.pad_factor,
+            spill_candidates=args.spill_candidates, seed=args.seed)
     else:
         idx = IVFPQIndex.build(
             rows, nlist=args.nlist, m=args.pq_m, use_opq=args.opq,
             train_size=args.train, n_iters=args.iters, opq_iters=args.opq_iters,
-            pad_factor=args.pad_factor, seed=args.seed)
+            pad_factor=args.pad_factor,
+            spill_candidates=args.spill_candidates, seed=args.seed)
     dt = time.perf_counter() - t0
     idx.save(args.out)
-    print(f"built {args.kind} nlist={args.nlist} over N={f.count} in {dt:.2f}s; "
+    print(f"built {args.kind} nlist={getattr(idx, 'nlist', args.nlist)} "
+          f"over N={f.count} in {dt:.2f}s; "
           f"index_bytes={idx.index_bytes} ({idx.index_bytes/1e6:.1f} MB) "
           f"spilled={idx.n_spilled} -> {args.out}")
 

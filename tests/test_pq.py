@@ -112,3 +112,40 @@ def test_ivfpq_index_is_compressed(pq_index):
     # codes ~ N * (M + 4(ids)) bytes; must be far below raw f32 size
     raw_bytes = 12000 * 128 * 4
     assert pq_index.index_bytes < raw_bytes
+
+
+def test_ivfpq_repack():
+    """repack reuses trained rotation/centroids/codebooks, re-balances lists:
+    a skewed corpus under tight packing forces spill; repack at higher
+    pad_factor/spill depth keeps every row exactly once and recall does not
+    regress."""
+    from nvdb_tpu.store.store import VectorStore
+    rng = np.random.default_rng(7)
+    # 70% of rows in one tight cluster -> its list overflows any ~N/nlist cap
+    hot = rng.standard_normal((1, 64)) * 3 + rng.standard_normal((7000, 64)) * 0.1
+    rest = rng.standard_normal((3000, 64))
+    base = np.vstack([hot, rest]).astype(np.float32)
+    queries = base[rng.choice(10000, 16, replace=False)] + \
+        rng.standard_normal((16, 64)).astype(np.float32) * 0.01
+    s = queries.astype(np.float64) @ base.T.astype(np.float64)
+    gt = np.argsort(-s, axis=1)[:, :10]
+
+    tight = IVFPQIndex.build(base, nlist=16, m=8, use_opq=False, n_iters=6,
+                             pad_factor=1.0, spill_candidates=2, seed=2)
+    assert tight.n_spilled > 0  # the premise: tight packing spills
+    re = IVFPQIndex.repack(tight, base, pad_factor=4.0, spill_candidates=8)
+    assert re.n_spilled < tight.n_spilled
+    # trained params are shared, only layout changed
+    np.testing.assert_array_equal(np.asarray(re.centroids),
+                                  np.asarray(tight.centroids))
+    np.testing.assert_array_equal(np.asarray(re.codebooks),
+                                  np.asarray(tight.codebooks))
+    sids = np.asarray(re.slot_ids)
+    real = sids[sids >= 0]
+    assert len(real) == base.shape[0] == len(np.unique(real))
+    store = VectorStore.from_numpy(base, "f32", row_block=256)
+    _, ids_t = tight.search(queries, 10, nprobe=4, refine_k=50,
+                            refine_store=store)
+    _, ids_r = re.search(queries, 10, nprobe=4, refine_k=50,
+                         refine_store=store)
+    assert _recall(ids_r, gt) >= _recall(ids_t, gt)
