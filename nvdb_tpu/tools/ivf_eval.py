@@ -69,6 +69,11 @@ def main(argv=None):
     p.add_argument("--shards", type=int, default=1,
                    help=">1: shard inverted lists over this many devices "
                         "(nprobe becomes the TOTAL across shards)")
+    p.add_argument("--device-queries", action="store_true",
+                   help="serving-path timing: query blocks (and stage-B "
+                        "candidate ids) are staged to HBM before the timed "
+                        "loop; each step fetches only the [B, k] result ids "
+                        "(tools/bench --device-queries analogue)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -138,25 +143,31 @@ def main(argv=None):
         kk = max(refine_k, args.k) if do_refine else args.k
         tr = Tracer()
 
-        def ann_step(qs_np, nprobe=nprobe, kk=kk):
+        def _pad_block(qs_np):
             block = np.zeros((bp, dp), np.float32)
             block[: qs_np.shape[0]] = qs_np
+            return block
+
+        blocks = [_pad_block(qpad[s * b:(s + 1) * b]) for s in range(n_batches)]
+        if args.device_queries:
+            blocks = [jax.device_put(jnp.asarray(x)) for x in blocks]
+
+        def ann_step(block, nprobe=nprobe, kk=kk):
             if is_pq:
                 v, i = idx.search_device(jnp.asarray(block), kk, nprobe,
                                          backend=args.ivf_backend)
             else:
                 v, i = idx.search_device(jnp.asarray(block), kk, nprobe)
-            return np.asarray(i)[: qs_np.shape[0]]
+            return np.asarray(i)[:b]
 
         # ---- Stage A: ANN candidate generation (timed per batch) ----------
         for w in range(min(args.warmup, n_batches)):
-            ann_step(qpad[w * b:(w + 1) * b])
+            ann_step(blocks[w])
         cand = np.empty((qpad.shape[0], kk), np.int64)
         ann_lat = []
         for s in range(n_batches):
-            blk = qpad[s * b:(s + 1) * b]
             with tr.span("ann"):
-                cand[s * b:(s + 1) * b] = ann_step(blk)
+                cand[s * b:(s + 1) * b] = ann_step(blocks[s])
             ann_lat.append(tr.samples_ms["ann"][-1])
         ann_stats = compute_stats(ann_lat, n_queries=Q, batch_q=b)
 
@@ -171,26 +182,30 @@ def main(argv=None):
                 from nvdb_tpu.kernels.dispatch import default_backend
                 backend = default_backend()
 
-            def refine_step(qs_np, cand_np):
-                block = np.zeros((bp, dp), np.float32)
-                block[: qs_np.shape[0]] = qs_np
+            def _pad_cand(cand_np):
                 cpad = np.full((bp, refine_k), -1, np.int64)
-                cpad[: qs_np.shape[0]] = cand_np[:, :refine_k]
+                cpad[: cand_np.shape[0]] = cand_np[:, :refine_k]
+                return np.asarray(cpad, np.int32)
+
+            cblocks = [_pad_cand(cand[s * b:(s + 1) * b])
+                       for s in range(n_batches)]
+            if args.device_queries:
+                cblocks = [jax.device_put(jnp.asarray(x)) for x in cblocks]
+
+            def refine_step(block, cblock):
                 v, i = _refine_block(jnp.asarray(block),
-                                     jnp.asarray(cpad, dtype=jnp.int32),
+                                     jnp.asarray(cblock),
                                      refine_store.vectors, refine_store.scales,
                                      args.k, backend=backend)
-                return np.asarray(i)[: qs_np.shape[0]]
+                return np.asarray(i)[:b]
 
             for w in range(min(args.warmup, n_batches)):
-                refine_step(qpad[w * b:(w + 1) * b], cand[w * b:(w + 1) * b])
+                refine_step(blocks[w], cblocks[w])
             out = np.empty((qpad.shape[0], args.k), np.int64)
             ref_lat = []
             for s in range(n_batches):
-                blk = qpad[s * b:(s + 1) * b]
                 with tr.span("refine"):
-                    out[s * b:(s + 1) * b] = refine_step(
-                        blk, cand[s * b:(s + 1) * b])
+                    out[s * b:(s + 1) * b] = refine_step(blocks[s], cblocks[s])
                 ref_lat.append(tr.samples_ms["refine"][-1])
             ref_stats = compute_stats(ref_lat, n_queries=Q, batch_q=b)
             final_ids = out[:Q]
@@ -220,6 +235,7 @@ def main(argv=None):
         print(result_line(
             kind=kind, refine_k=refine_k, nprobe=nprobe, Q=Q, k=args.k,
             batch_q=b, backend=args.ivf_backend,
+            device_queries=int(args.device_queries),
             refine_enabled=int(do_refine), refine_backend="tpu-fused",
             ann_avg_ms=ann_stats.avg_ms, ann_p99_ms=ann_stats.p99_ms,
             refine_ms_per_q=refine_ms_per_q,

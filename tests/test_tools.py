@@ -136,3 +136,39 @@ def test_ab_compare(files, capsys):
                      "--batch-q", "4"])
     out = capsys.readouterr().out
     assert "mean(A-B)" in out and "RESULT ab_a=jnp" in out
+
+
+def test_ivf_build_eval_pipeline(files, capsys):
+    """ivf_build -> ivf_eval RESULT grid, host and device-query paths, plus
+    --repack-from: the nvdb_ivf_build + nvdb_ivf_eval pipeline in-process."""
+    from nvdb_tpu.tools import ivf_build, ivf_eval
+
+    d, base, q, gt = files
+    idx = str(d / "ivfpq.npz")
+    ivf_build.main([base, idx, "--kind", "ivfpq", "--nlist", "16",
+                    "--pq-m", "8", "--no-opq", "--iters", "4"])
+    capsys.readouterr()
+    ivf_eval.main([idx, base, q, "--gt", gt, "--k", "5",
+                   "--nprobe", "4", "--refine-k", "0", "20",
+                   "--batch-q", "8", "--warmup", "1"])
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("RESULT")]
+    assert len(lines) == 2
+    assert "device_queries=0" in lines[0]
+    refined = [l for l in lines if "refine_enabled=1" in l]
+    assert len(refined) == 1 and "refine_backend=tpu-fused" in refined[0]
+
+    ivf_eval.main([idx, base, q, "--gt", gt, "--k", "5",
+                   "--nprobe", "8", "--refine-k", "20",
+                   "--batch-q", "8", "--warmup", "1", "--device-queries"])
+    out = capsys.readouterr().out
+    rl = [l for l in out.splitlines() if l.startswith("RESULT")]
+    assert len(rl) == 1 and "device_queries=1" in rl[0]
+    rec = float(rl[0].split("recall=")[1].split()[0])
+    assert rec >= 0.5
+
+    idx2 = str(d / "ivfpq_repacked.npz")
+    ivf_build.main([base, idx2, "--kind", "ivfpq", "--repack-from", idx,
+                    "--pad-factor", "4.0", "--spill-candidates", "8"])
+    out = capsys.readouterr().out
+    assert "spilled=" in out
