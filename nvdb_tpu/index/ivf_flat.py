@@ -226,6 +226,48 @@ class IVFFlatIndex:
             slot_scales=jnp.asarray(slot_scales) if slot_scales is not None else None,
             n=n, d=d, dtype_code=code, n_spilled=spilled)
 
+    @classmethod
+    def repack(
+        cls,
+        idx: "IVFFlatIndex",
+        rows_f32: np.ndarray,
+        pad_factor: float = 2.5,
+        spill_candidates: int = 8,
+    ) -> "IVFFlatIndex":
+        """Re-balance the inverted lists at a new capacity / spill depth
+        WITHOUT re-training the coarse quantizer (see IVFPQIndex.repack for
+        why: on skewed corpora tight fixed-capacity packing relegates
+        overflow rows to far lists, capping recall)."""
+        n, d = rows_f32.shape
+        nlist = idx.nlist
+        dp = idx.packed.shape[2]
+        data_p = np.zeros((n, dp), np.float32)
+        data_p[:, :d] = rows_f32
+        S = min(spill_candidates, nlist)
+        alts = np.asarray(_topS_centroids(jnp.asarray(data_p), idx.centroids, S))
+        lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 32)
+
+        code = idx.dtype_code
+        scales = None
+        if code == vecbin.DTYPE_I8:
+            enc, scales = vecbin.quantize_i8(rows_f32)
+        elif code == vecbin.DTYPE_BF16:
+            enc = vecbin.to_bf16(rows_f32)
+        else:
+            enc = rows_f32.astype(np.float32)
+
+        packed, slot_ids, slot_scales, spilled = _pack_lists(
+            enc, scales, alts[:, 0], None, alts, nlist, lcap, dp)
+        jdt = {vecbin.DTYPE_F32: jnp.float32, vecbin.DTYPE_BF16: jnp.bfloat16,
+               vecbin.DTYPE_I8: jnp.int8}[code]
+        return cls(
+            centroids=idx.centroids,
+            packed=jnp.asarray(packed, dtype=jdt),
+            slot_ids=jnp.asarray(slot_ids),
+            slot_scales=(jnp.asarray(slot_scales)
+                         if slot_scales is not None else None),
+            n=n, d=d, dtype_code=code, n_spilled=spilled)
+
     # -- search ----------------------------------------------------------------
 
     def search_device(self, queries: jax.Array, k: int, nprobe: int,

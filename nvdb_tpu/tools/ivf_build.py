@@ -38,10 +38,10 @@ def main(argv=None):
                    help="overflow rows try their S nearest lists before the "
                         "last-resort pour into any free list")
     p.add_argument("--repack-from", default=None, metavar="IDX",
-                   help="ivfpq only: reuse a trained index's rotation/"
-                        "centroids/codebooks and only re-pack + re-encode the "
-                        "lists at the new --pad-factor/--spill-candidates "
-                        "(minutes instead of the full k-means+OPQ build)")
+                   help="reuse a trained index's rotation/centroids/codebooks "
+                        "and only re-pack (+ re-encode for pq) the lists at "
+                        "the new --pad-factor/--spill-candidates (minutes "
+                        "instead of the full k-means/OPQ build)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     setup_jax(args)
@@ -55,10 +55,9 @@ def main(argv=None):
     rows = f.rows_f32()
     t0 = time.perf_counter()
     if args.repack_from:
-        if args.kind != "ivfpq":
-            p.error("--repack-from is ivfpq-only")
-        idx = IVFPQIndex.repack(
-            IVFPQIndex.load(args.repack_from), rows,
+        icls = IVFPQIndex if args.kind == "ivfpq" else IVFFlatIndex
+        idx = icls.repack(
+            icls.load(args.repack_from), rows,
             pad_factor=args.pad_factor,
             spill_candidates=args.spill_candidates)
     elif args.kind == "ivfflat":

@@ -111,3 +111,28 @@ def test_ivf_pallas_probe_i8(data):
     hits = sum(len(set(a.tolist()) & set(b.tolist()))
                for a, b in zip(ids, gt[:8]))
     assert hits / (8 * 10) >= 0.9
+
+
+def test_ivfflat_repack():
+    """Skewed corpus under tight packing spills; repack at higher capacity
+    keeps every row exactly once, shares the trained centroids, and full
+    probing stays exact."""
+    rng = np.random.default_rng(9)
+    hot = rng.standard_normal((1, 64)) * 3 + rng.standard_normal((7000, 64)) * 0.1
+    rest = rng.standard_normal((3000, 64))
+    base = np.vstack([hot, rest]).astype(np.float32)
+    tight = IVFFlatIndex.build(base, nlist=16, dtype="bf16", n_iters=6,
+                               pad_factor=1.0, spill_candidates=2, seed=4)
+    assert tight.n_spilled > 0
+    re = IVFFlatIndex.repack(tight, base, pad_factor=4.0, spill_candidates=8)
+    assert re.n_spilled < tight.n_spilled
+    np.testing.assert_array_equal(np.asarray(re.centroids),
+                                  np.asarray(tight.centroids))
+    sids = np.asarray(re.slot_ids)
+    real = sids[sids >= 0]
+    assert len(real) == base.shape[0] == len(np.unique(real))
+    # full probing == exact top-k (bf16 economy aside: compare to tight full)
+    q = base[:8]
+    _, i_full = re.search(q, 5, nprobe=16)
+    _, i_tight = tight.search(q, 5, nprobe=16)
+    assert np.array_equal(np.sort(i_full, 1), np.sort(i_tight, 1))
