@@ -31,7 +31,8 @@ from nvdb_tpu.kernels import adc_scan, kmeans, ops, pq
 from nvdb_tpu.utils import round_up
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "m", "backend"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "nprobe", "m", "backend", "dedup"))
 def _ivfpq_search_block(
     q_rot: jax.Array,         # [B, Dp] rotated queries
     centroids: jax.Array,     # [nlist, Dp]
@@ -42,6 +43,7 @@ def _ivfpq_search_block(
     nprobe: int,
     m: int,
     backend: str = "jnp",
+    dedup: bool = False,      # replicated indexes: collapse duplicate ids
 ) -> Tuple[jax.Array, jax.Array]:
     B = q_rot.shape[0]
     qc = jnp.dot(q_rot, centroids.T, preferred_element_type=jnp.float32,
@@ -64,6 +66,12 @@ def _ivfpq_search_block(
     sids = jnp.take(slot_ids, probes, axis=0)                    # [B, P, L]
     scores = pq.adc_scores(lut, code_slab)                       # [B, P, L] (-L2)
     scores = jnp.where(sids >= 0, scores, -jnp.inf)
+    if dedup:
+        # grab 2k (every slot could be one of a replica pair), then collapse
+        w = min(2 * k, scores.reshape(B, -1).shape[1])
+        vals, idx = jax.lax.top_k(scores.reshape(B, -1), w)
+        ids = jnp.take_along_axis(sids.reshape(B, -1), idx, axis=1)
+        return ops.dedup_topk(vals, ids, k)
     vals, idx = jax.lax.top_k(scores.reshape(B, -1), k)
     ids = jnp.take_along_axis(sids.reshape(B, -1), idx, axis=1)
     return vals, ids
@@ -105,6 +113,7 @@ class IVFPQIndex:
     d: int
     m: int
     n_spilled: int = 0
+    replicas: int = 1                 # >1: each row encoded in its top-R lists
 
     @property
     def nlist(self) -> int:
@@ -208,6 +217,7 @@ class IVFPQIndex:
         rows_f32: np.ndarray,
         pad_factor: float = 5.0,
         spill_candidates: int = 8,
+        replicas: int = 1,
     ) -> "IVFPQIndex":
         """Re-balance the inverted lists with a larger capacity / deeper spill
         WITHOUT retraining rotation, coarse centroids, or PQ codebooks (those
@@ -217,7 +227,13 @@ class IVFPQIndex:
         slab layout trades lcap (ADC bytes scanned per probe) against spill
         (rows relegated to far lists, where probing misses them). On skewed
         corpora the tight default packing costs real recall — repack walks
-        that frontier cheaply."""
+        that frontier cheaply.
+
+        replicas > 1 additionally encodes every row in each of its top-R
+        lists (replicated assignment, the ScaNN/SOAR idea): PQ codes are
+        ~m bytes/row, so R=2 buys roughly double coverage per probe for a
+        sliver of the corpus size. Search collapses duplicate ids (the
+        Pallas merge by construction; the jnp path via ops.dedup_topk)."""
         n, d = rows_f32.shape
         nlist = idx.nlist
         dp = idx.centroids.shape[1]
@@ -229,30 +245,43 @@ class IVFPQIndex:
         else:
             data_rot = data_p
 
-        S = min(spill_candidates, nlist)
+        R = max(1, min(replicas, nlist))
+        S = min(max(spill_candidates, R), nlist)
         alts = np.asarray(_topS_centroids(jnp.asarray(data_rot),
                                           idx.centroids, S))
-        lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 128)
+        # virtual rows: copy r of row i prefers the (r+1)-th nearest list
+        if R > 1:
+            alts_v = np.concatenate(
+                [np.concatenate([alts[:, r:],
+                                 np.repeat(alts[:, -1:], r, axis=1)], axis=1)
+                 for r in range(R)], axis=0)
+        else:
+            alts_v = alts
+        n_v = n * R
+        lcap = round_up(int(np.ceil(n_v / nlist * pad_factor)), 128)
 
-        dummy = np.zeros((n, 1), np.float32)
-        _, slot_ids, _, spilled = _pack_lists(
-            dummy, None, alts[:, 0], None, alts, nlist, lcap, 1)
+        dummy = np.zeros((n_v, 1), np.float32)
+        _, slot_vids, _, spilled = _pack_lists(
+            dummy, None, alts_v[:, 0], None, alts_v, nlist, lcap, 1)
 
+        # residual of each PLACED virtual row vs its packed list's centroid
         cents_np = np.asarray(idx.centroids)
-        list_of = np.empty(n, np.int64)
-        li, si = np.nonzero(slot_ids >= 0)
-        list_of[slot_ids[li, si]] = li
-        residuals = data_rot - cents_np[list_of]
+        li, si = np.nonzero(slot_vids >= 0)
+        vids = slot_vids[li, si]
+        rids = vids % n
+        order = np.argsort(vids)  # encode rows in virtual-id order
+        residuals = data_rot[rids[order]] - cents_np[li[order]]
 
         codes_rows = np.asarray(
             _encode_chunked(jnp.asarray(residuals), idx.codebooks, m))
         codes = np.zeros((nlist, m, lcap), np.uint8)
-        codes[li, :, si] = codes_rows[slot_ids[li, si]]
+        codes[li[order], :, si[order]] = codes_rows
+        slot_ids = np.where(slot_vids >= 0, slot_vids % n, -1).astype(np.int32)
 
         return cls(rotation=idx.rotation, centroids=idx.centroids,
                    codebooks=idx.codebooks, codes=jnp.asarray(codes),
                    slot_ids=jnp.asarray(slot_ids),
-                   n=n, d=d, m=m, n_spilled=spilled)
+                   n=n, d=d, m=m, n_spilled=spilled, replicas=R)
 
     # -- search ----------------------------------------------------------------
 
@@ -273,7 +302,8 @@ class IVFPQIndex:
         q_rot = queries @ self.rotation if self.rotation is not None else queries
         v, i = _ivfpq_search_block(q_rot, self.centroids, self.codebooks,
                                    self.codes, self.slot_ids, kk, nprobe,
-                                   self.m, backend=backend)
+                                   self.m, backend=backend,
+                                   dedup=self.replicas > 1)
         if refine_k > 0:
             if refine_store is None:
                 raise ValueError("refine_k > 0 requires refine_store")
@@ -326,9 +356,10 @@ class IVFPQIndex:
             codebooks=np.asarray(self.codebooks),
             codes=np.asarray(self.codes),
             slot_ids=np.asarray(self.slot_ids),
-            # 5th field = codes-layout version: 2 -> [nlist, M, Lcap]
-            meta=np.array([self.n, self.d, self.m, self.n_spilled, 2],
-                          np.int64),
+            # 5th field = codes-layout version: 2 -> [nlist, M, Lcap];
+            # 6th = replicas (absent on v1 files -> 1)
+            meta=np.array([self.n, self.d, self.m, self.n_spilled, 2,
+                           self.replicas], np.int64),
         )
 
     @classmethod
@@ -346,7 +377,8 @@ class IVFPQIndex:
             codebooks=jnp.asarray(z["codebooks"]),
             codes=jnp.asarray(codes),
             slot_ids=jnp.asarray(z["slot_ids"]),
-            n=n, d=d, m=m, n_spilled=spilled)
+            n=n, d=d, m=m, n_spilled=spilled,
+            replicas=meta[5] if len(meta) > 5 else 1)
 
 
 @functools.partial(jax.jit, static_argnames=("m",))

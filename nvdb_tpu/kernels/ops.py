@@ -166,3 +166,23 @@ def exact_rerank(
     scores = jnp.where(cand_ids >= 0, scores, NEG_INF)
     top_vals, idx = jax.lax.top_k(scores, k)
     return top_vals, jnp.take_along_axis(cand_ids, idx, axis=1)
+
+
+def dedup_topk(vals: jax.Array, ids: jax.Array, k: int
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Collapse duplicate ids in a [B, W] candidate set (keeping each id's
+    best score), then re-select the top k. Needed by replicated-assignment
+    indexes (IVFPQIndex.repack replicas>1) on the jnp path — the Pallas
+    merge (_merge_topk_sorted) removes copies by construction, this keeps
+    the oracle path's semantics identical. W is small (<= a few hundred)."""
+    # sort by (id asc, val desc): the first row of each id group is its best
+    order = jnp.lexsort((-vals, ids), axis=1)
+    sv = jnp.take_along_axis(vals, order, axis=1)
+    si = jnp.take_along_axis(ids, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(si[:, :1], dtype=bool), si[:, 1:] == si[:, :-1]],
+        axis=1)
+    sv = jnp.where(dup, NEG_INF, sv)
+    si = jnp.where(dup, -1, si)
+    top_vals, idx = jax.lax.top_k(sv, k)
+    return top_vals, jnp.take_along_axis(si, idx, axis=1)

@@ -42,6 +42,10 @@ def main(argv=None):
                         "and only re-pack (+ re-encode for pq) the lists at "
                         "the new --pad-factor/--spill-candidates (minutes "
                         "instead of the full k-means/OPQ build)")
+    p.add_argument("--replicas", type=int, default=1,
+                   help="ivfpq --repack-from only: encode each row in its "
+                        "top-R lists (replicated assignment; codes are cheap, "
+                        "R=2 ~doubles coverage per probe)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     setup_jax(args)
@@ -55,11 +59,20 @@ def main(argv=None):
     rows = f.rows_f32()
     t0 = time.perf_counter()
     if args.repack_from:
-        icls = IVFPQIndex if args.kind == "ivfpq" else IVFFlatIndex
-        idx = icls.repack(
-            icls.load(args.repack_from), rows,
-            pad_factor=args.pad_factor,
-            spill_candidates=args.spill_candidates)
+        if args.kind == "ivfpq":
+            idx = IVFPQIndex.repack(
+                IVFPQIndex.load(args.repack_from), rows,
+                pad_factor=args.pad_factor,
+                spill_candidates=args.spill_candidates,
+                replicas=args.replicas)
+        else:
+            if args.replicas != 1:
+                p.error("--replicas is ivfpq-only (flat payload replication "
+                        "doubles full-vector memory; use ivfpq)")
+            idx = IVFFlatIndex.repack(
+                IVFFlatIndex.load(args.repack_from), rows,
+                pad_factor=args.pad_factor,
+                spill_candidates=args.spill_candidates)
     elif args.kind == "ivfflat":
         idx = IVFFlatIndex.build(
             rows, nlist=args.nlist, dtype=args.dtype, train_size=args.train,

@@ -149,3 +149,77 @@ def test_ivfpq_repack():
     _, ids_r = re.search(queries, 10, nprobe=4, refine_k=50,
                          refine_store=store)
     assert _recall(ids_r, gt) >= _recall(ids_t, gt)
+
+
+def test_ivfpq_replicated_assignment():
+    """replicas=2: every row encoded in its top-2 lists — coverage per probe
+    roughly doubles, duplicate ids never surface in results (Pallas merge by
+    construction, jnp path via ops.dedup_topk)."""
+    from nvdb_tpu.store.store import VectorStore
+    rng = np.random.default_rng(11)
+    base = (rng.standard_normal((40, 64))[rng.integers(0, 40, 8000)] * 1.0 +
+            rng.standard_normal((8000, 64)) * 0.6).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)  # dot GT == L2 rank
+    queries = base[rng.choice(8000, 24, replace=False)] + \
+        rng.standard_normal((24, 64)).astype(np.float32) * 0.05
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    s = queries.astype(np.float64) @ base.T.astype(np.float64)
+    gt = np.argsort(-s, axis=1)[:, :10]
+
+    one = IVFPQIndex.build(base, nlist=32, m=8, use_opq=False, n_iters=8,
+                           pad_factor=2.0, seed=5)
+    two = IVFPQIndex.repack(one, base, pad_factor=2.0, spill_candidates=8,
+                            replicas=2)
+    assert two.replicas == 2
+    sids = np.asarray(two.slot_ids)
+    real = sids[sids >= 0]
+    counts = np.bincount(real, minlength=8000)
+    assert counts.min() >= 1 and counts.max() <= 2 and counts.mean() > 1.5
+
+    # the mechanism: candidate COVERAGE at nprobe=1 strictly improves
+    # (recall itself is ADC-bound on a toy-coarse m=8 codebook, so assert
+    # the structural property, not the noisy end metric)
+    def lists_of(idx):
+        sids = np.asarray(idx.slot_ids)
+        out = [[] for _ in range(base.shape[0])]
+        li, si = np.nonzero(sids >= 0)
+        for l, rid in zip(li, sids[li, si]):
+            out[rid].append(l)
+        return out
+    L1, L2 = lists_of(one), lists_of(two)
+    qp = np.zeros((queries.shape[0], one.centroids.shape[1]), np.float32)
+    qp[:, :64] = queries
+    cents = np.asarray(one.centroids)
+    probe = np.argmax(2 * qp @ cents.T - (cents ** 2).sum(1)[None], axis=1)
+    cov1 = np.mean([[probe[i] in L1[g] for g in row]
+                    for i, row in enumerate(gt)])
+    cov2 = np.mean([[probe[i] in L2[g] for g in row]
+                    for i, row in enumerate(gt)])
+    assert cov2 > cov1
+
+    store = VectorStore.from_numpy(base, "f32", row_block=256)
+    r = {}
+    for name, idx in (("r1", one), ("r2", two)):
+        _, ids = idx.search(queries, 10, nprobe=2, refine_k=30,
+                            refine_store=store)
+        # no duplicate ids in any result row
+        for row in ids:
+            assert len(set(row.tolist())) == len(row)
+        r[name] = _recall(ids, gt)
+    # end-to-end recall stays within ADC noise of the single-copy index
+    assert r["r2"] >= r["r1"] - 0.05
+
+
+def test_ivfpq_replicated_save_load(tmp_path):
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal((2000, 64)).astype(np.float32)
+    one = IVFPQIndex.build(base, nlist=8, m=8, use_opq=False, n_iters=4, seed=6)
+    two = IVFPQIndex.repack(one, base, pad_factor=3.0, replicas=2)
+    p = str(tmp_path / "rep.npz")
+    two.save(p)
+    back = IVFPQIndex.load(p)
+    assert back.replicas == 2
+    q = base[:8]
+    v1, i1 = two.search(q, 5, nprobe=4)
+    v2, i2 = back.search(q, 5, nprobe=4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
