@@ -74,6 +74,14 @@ def main(argv=None):
                         "candidate ids) are staged to HBM before the timed "
                         "loop; each step fetches only the [B, k] result ids "
                         "(tools/bench --device-queries analogue)")
+    p.add_argument("--chained", action="store_true",
+                   help="steady-state throughput: drive the FUSED "
+                        "coarse+ADC+refine search_device across all staged "
+                        "blocks with one trailing fetch (the per-batch fetch "
+                        "otherwise pays a full relay round-trip per step, "
+                        "which a locally-attached TPU does not). Implies "
+                        "--device-queries; reports chained qps, no "
+                        "percentiles")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -149,8 +157,42 @@ def main(argv=None):
             return block
 
         blocks = [_pad_block(qpad[s * b:(s + 1) * b]) for s in range(n_batches)]
-        if args.device_queries:
+        if args.device_queries or args.chained:
             blocks = [jax.device_put(jnp.asarray(x)) for x in blocks]
+
+        if args.chained:
+            import time as _time
+
+            def fused(block):
+                if is_pq and do_refine:
+                    return idx.search_device(block, args.k, nprobe,
+                                             refine_k=refine_k,
+                                             refine_store=refine_store,
+                                             backend=args.ivf_backend)
+                if is_pq:
+                    return idx.search_device(block, args.k, nprobe,
+                                             backend=args.ivf_backend)
+                return idx.search_device(block, args.k, nprobe)
+
+            np.asarray(fused(blocks[0])[1])  # compile + warm
+            for w in range(min(args.warmup, n_batches)):
+                np.asarray(fused(blocks[w])[1])
+            t0 = _time.perf_counter()
+            outs = [fused(x) for x in blocks]
+            ids_last = np.asarray(outs[-1][1])  # one trailing fetch
+            dt = _time.perf_counter() - t0
+            final_ids = np.concatenate(
+                [np.asarray(i)[:b, : args.k] for _, i in outs])[:Q]
+            recall = (recall_at_k(final_ids, gt_ids, k=args.k)
+                      if gt_ids is not None else -1.0)
+            ms_q = dt * 1000.0 / (n_batches * b)
+            print(result_line(
+                kind=kind, refine_k=refine_k, nprobe=nprobe, Q=Q, k=args.k,
+                batch_q=b, backend=args.ivf_backend, chained=1,
+                refine_enabled=int(do_refine), refine_backend="tpu-fused",
+                total_avg_ms=ms_q, qps=1000.0 / ms_q if ms_q > 0 else 0.0,
+                recall=recall, index_mb=idx.index_bytes / 1e6))
+            continue
 
         def ann_step(block, nprobe=nprobe, kk=kk):
             if is_pq:

@@ -167,6 +167,14 @@ def test_ivf_build_eval_pipeline(files, capsys):
     rec = float(rl[0].split("recall=")[1].split()[0])
     assert rec >= 0.5
 
+    ivf_eval.main([idx, base, q, "--gt", gt, "--k", "5",
+                   "--nprobe", "8", "--refine-k", "20",
+                   "--batch-q", "8", "--warmup", "1", "--chained"])
+    out = capsys.readouterr().out
+    cl = [l for l in out.splitlines() if l.startswith("RESULT")]
+    assert len(cl) == 1 and "chained=1" in cl[0]
+    assert float(cl[0].split("recall=")[1].split()[0]) >= 0.5
+
     idx2 = str(d / "ivfpq_repacked.npz")
     ivf_build.main([base, idx2, "--kind", "ivfpq", "--repack-from", idx,
                     "--pad-factor", "4.0", "--spill-candidates", "8"])
