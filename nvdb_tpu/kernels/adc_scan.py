@@ -40,9 +40,36 @@ from nvdb_tpu.kernels.flat_scan import (_merge_topk_sorted, NEG_INF, POS_INF,
                                         K_LANES)
 
 
-def _make_kernel(k: int, m: int, lcap: int):
-    def kernel(probes_ref, lut_ref, codes_ref, sids_ref,
-               vals_out, ids_out, vals_scr, ids_scr):
+def _score_list(codes_u8, lut3_bf16, m, lcap):
+    """ADC scores of one packed list: [M, L] codes x [M, 16, 16] LUT ->
+    [1, L] negated L2 (max-is-best), via the nibble one-hot matmul."""
+    codes = codes_u8.astype(jnp.int32)                       # [M, L]
+    lo = (codes & 15)[:, None, :]                            # [M, 1, L]
+    hi = (codes >> 4)[:, None, :]
+    nib = jax.lax.broadcasted_iota(jnp.int32, (m, 16, lcap), 1)
+    oh_lo = (lo == nib).astype(jnp.bfloat16)                 # [M, 16, L]
+    oh_hi = (hi == nib).astype(jnp.float32)
+    # batched over M: t[m, a, l] = sum_b lut3[m, a, b] * oh_lo[m, b, l]
+    t = jax.lax.dot_general(
+        lut3_bf16, oh_lo, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)                  # [M, 16, L]
+    # reduce to [1, L] in one sublane reduction over the merged [M*16, L]
+    # view — reducing the middle axis of the 3D form makes Mosaic emit a
+    # replicated-layout [M, L] intermediate it then fails to relayout
+    prod = (oh_hi * t).reshape(m * 16, lcap)
+    return -jnp.sum(prod, axis=0, keepdims=True)             # [1, L]
+
+
+def _make_kernel(k: int, m: int, lcap: int, g: int):
+    """g probed lists per grid step: their codes/slot-ids are DMA'd into
+    VMEM scratch by scalar-prefetch-driven async copies (aligned: dim 0 of a
+    3D HBM ref is untiled), scored one by one, and folded with ONE
+    count+extract merge over the concatenated [1, g*L] lane vector — the
+    per-step vector->scalar sync and fori_loop setup amortize g-fold."""
+    def kernel(probes_ref, lut_ref, codes_hbm, sids_hbm,
+               vals_out, ids_out, vals_scr, ids_scr,
+               codes_vmem, sids_vmem, csem, ssem):
+        b = pl.program_id(0)
         j = pl.program_id(1)
 
         @pl.when(j == 0)
@@ -50,26 +77,28 @@ def _make_kernel(k: int, m: int, lcap: int):
             vals_scr[:] = jnp.full(vals_scr.shape, NEG_INF, dtype=jnp.float32)
             ids_scr[:] = jnp.full(ids_scr.shape, -1, dtype=jnp.int32)
 
-        codes = codes_ref[0].astype(jnp.int32)               # [M, L]
-        lo = (codes & 15)[:, None, :]                        # [M, 1, L]
-        hi = (codes >> 4)[:, None, :]
-        nib = jax.lax.broadcasted_iota(jnp.int32, (m, 16, lcap), 1)
-        oh_lo = (lo == nib).astype(jnp.bfloat16)             # [M, 16, L]
-        oh_hi = (hi == nib).astype(jnp.float32)
+        for gi in range(g):
+            li = probes_ref[b, j * g + gi]
+            pltpu.make_async_copy(codes_hbm.at[pl.ds(li, 1)],
+                                  codes_vmem.at[pl.ds(gi, 1)], csem).start()
+            pltpu.make_async_copy(sids_hbm.at[pl.ds(li, 1)],
+                                  sids_vmem.at[pl.ds(gi, 1)], ssem).start()
+        for gi in range(g):
+            pltpu.make_async_copy(codes_hbm.at[pl.ds(0, 1)],
+                                  codes_vmem.at[pl.ds(0, 1)], csem).wait()
+            pltpu.make_async_copy(sids_hbm.at[pl.ds(0, 1)],
+                                  sids_vmem.at[pl.ds(0, 1)], ssem).wait()
 
-        lut3 = lut_ref[0, 0].astype(jnp.bfloat16)            # [M, 16hi, 16lo]
-        # batched over M: t[m, a, l] = sum_b lut3[m, a, b] * oh_lo[m, b, l]
-        t = jax.lax.dot_general(
-            lut3, oh_lo, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # [M, 16, L]
-        # reduce to [1, L] in one sublane reduction over the merged [M*16, L]
-        # view — reducing the middle axis of the 3D form makes Mosaic emit a
-        # replicated-layout [M, L] intermediate it then fails to relayout
-        prod = (oh_hi * t).reshape(m * 16, lcap)
-        s = -jnp.sum(prod, axis=0, keepdims=True)            # [1, L] (max-is-best)
-
-        sids = sids_ref[0]                                   # [1, L]
-        s = jnp.where(sids >= 0, s, NEG_INF)
+        parts_s = []
+        parts_i = []
+        for gi in range(g):
+            lut3 = lut_ref[0, 0, gi].astype(jnp.bfloat16)    # [M, 16, 16]
+            sg = _score_list(codes_vmem[gi], lut3, m, lcap)  # [1, L]
+            sid_g = sids_vmem[gi]                            # [1, L]
+            parts_s.append(jnp.where(sid_g >= 0, sg, NEG_INF))
+            parts_i.append(sid_g)
+        s = jnp.concatenate(parts_s, axis=1)                 # [1, g*L]
+        sids = jnp.concatenate(parts_i, axis=1)
 
         # Slot-buffer merge with count + dynamic extraction (the flat-scan
         # "extract" strategy, flat_scan.py merge_scr): a fixed k-round sorted
@@ -117,13 +146,14 @@ def _make_kernel(k: int, m: int, lcap: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "g", "interpret"))
 def pallas_adc_topk(
     lut: jax.Array,        # [B, P, M, 16, 16] f32 ADC tables (hi, lo split)
     probes: jax.Array,     # [B, P] int32 probed list ids
     codes_t: jax.Array,    # [nlist, M, Lcap] uint8 (transposed PQ codes)
     slot_ids: jax.Array,   # [nlist, Lcap] int32 (-1 padding)
     k: int,
+    g: int = 4,            # probed lists folded per grid step
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k ADC candidates over each query's probed lists. Scores are
@@ -135,18 +165,29 @@ def pallas_adc_topk(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    kernel = _make_kernel(k, m, lcap)
+    g = max(1, min(g, P))
+    if P % g != 0:
+        # pad the probe axis by repeating the last probe: a duplicated list
+        # contributes duplicate (id, score) pairs, which the extraction
+        # merge collapses by id — results are unchanged
+        pad = g - P % g
+        probes = jnp.concatenate(
+            [probes, jnp.repeat(probes[:, -1:], pad, axis=1)], axis=1)
+        lut = jnp.concatenate(
+            [lut, jnp.repeat(lut[:, -1:], pad, axis=1)], axis=1)
+        P += pad
+
+    kernel = _make_kernel(k, m, lcap, g)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, P),
+        grid=(B, P // g),
         in_specs=[
-            pl.BlockSpec((1, 1, m, 16, 16), lambda b, j, pr: (b, j, 0, 0, 0),
+            pl.BlockSpec((1, 1, g, m, 16, 16),
+                         lambda b, j, pr: (b, j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, lcap), lambda b, j, pr: (pr[b, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lcap), lambda b, j, pr: (pr[b, j], 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, k), lambda b, j, pr: (b, 0, 0),
@@ -157,6 +198,10 @@ def pallas_adc_topk(
         scratch_shapes=[
             pltpu.VMEM((8, K_LANES), jnp.float32),
             pltpu.VMEM((8, K_LANES), jnp.int32),
+            pltpu.VMEM((g, m, lcap), jnp.uint8),
+            pltpu.VMEM((g, 1, lcap), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
@@ -170,6 +215,7 @@ def pallas_adc_topk(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(probes.astype(jnp.int32), lut, codes_t,
-      slot_ids.reshape(nlist, 1, lcap))
+    )(probes.astype(jnp.int32),
+      lut.reshape(B, P // g, g, m, 16, 16), codes_t,
+      slot_ids.reshape(nlist, 1, lcap).astype(jnp.int32))
     return out[0].reshape(B, k), out[1].reshape(B, k)
