@@ -60,6 +60,12 @@ class PartitionRerankIndex:
         with_refine: bool = True,
         train_size: int = 100_000,
         n_iters: int = 10,
+        # roomier packing than the raw IVF default: on Zipf-skewed corpora
+        # tight lists relegate overflow rows to far partitions, capping the
+        # recall ceiling below the exact-probing curve (BENCHMARKS §4/§7);
+        # bf16 payload makes the extra capacity cheap
+        pad_factor: float = 2.0,
+        spill_candidates: int = 8,
         seed: int = 0,
     ) -> "PartitionRerankIndex":
         n = rows_f32.shape[0]
@@ -69,6 +75,8 @@ class PartitionRerankIndex:
                                 16, 8192))
         ivf = IVFFlatIndex.build(rows_f32, nlist=nlist, dtype=dtype,
                                  train_size=train_size, n_iters=n_iters,
+                                 pad_factor=pad_factor,
+                                 spill_candidates=spill_candidates,
                                  seed=seed)
         store = VectorStore.from_numpy(rows_f32, "f32") if with_refine else None
         return cls(ivf=ivf, refine_store=store)
