@@ -41,8 +41,10 @@ def test_memory_below_hnsw_equivalent(index, data):
     base, _, _ = data
     hnsw_bytes = base.shape[0] * (base.shape[1] * 4 + 2 * 16 * 4)
     assert index.index_bytes <= hnsw_bytes
-    # and the bf16 packed payload alone is ~half the hnsw vector storage
-    assert index.ivf.index_bytes < base.shape[0] * base.shape[1] * 4
+    # bf16 payload at the round-2 default pad 2.0 ~= the hnsw f32 vector
+    # bytes; the full structure stays under hnsw by the link budget
+    assert index.ivf.index_bytes <= base.shape[0] * (base.shape[1] * 4
+                                                     + 16 * 4)
 
 
 def test_rerank_improves_bf16(data):
