@@ -16,7 +16,9 @@ mkdir -p "$WORK"
 BASE="$WORK/base.vecbin"; QRY="$WORK/q.vecbin"; GT="$WORK/gt.gtbin"
 
 echo "== data =="
-[ -f "$BASE" ] || python -m nvdb_tpu.tools.synth "$BASE" --count "$COUNT" --dim "$DIM" --clusters 1024 --seed 1
+# hard corpus (hierarchical Zipf topics): recall-vs-nprobe actually slopes,
+# unlike the round-1 clustered generator the coarse quantizer memorized
+[ -f "$BASE" ] || python -m nvdb_tpu.tools.synth "$BASE" --count "$COUNT" --dim "$DIM" --hard 48 --seed 1
 [ -f "$QRY" ] || python -m nvdb_tpu.tools.make_query "$BASE" "$QRY" --q "$Q" --perturb 0.05
 [ -f "$GT" ] || python -m nvdb_tpu.tools.gt_build "$BASE" "$QRY" "$GT" --k "$K"
 
