@@ -64,3 +64,35 @@ def test_pallas_adc_end_to_end_refine(built):
     # wherever their candidate sets overlap; gate on strong agreement
     agree = np.mean(np.asarray(i_j) == np.asarray(i_p))
     assert agree > 0.9, agree
+
+
+@pytest.mark.parametrize("g", [1, 3, 4, 16])
+def test_pallas_adc_g_grouping(built, g):
+    """The lists-per-step fold must not change results, including when g
+    does not divide nprobe (the padded duplicate-probe path) and when g
+    exceeds nprobe (clamped)."""
+    from nvdb_tpu.kernels import adc_scan
+
+    idx, qp = built
+    q_rot = qp @ idx.rotation
+    from nvdb_tpu.kernels import pq
+    nprobe, k = 6, 10
+    jv, ji = _ivfpq_search_block(q_rot, idx.centroids, idx.codebooks,
+                                 idx.codes, idx.slot_ids, k, nprobe, idx.m,
+                                 backend="jnp")
+    qc = jnp.dot(q_rot, idx.centroids.T)
+    c2 = jnp.sum(idx.centroids * idx.centroids, axis=1)[None, :]
+    _, probes = jax.lax.top_k(2.0 * qc - c2, nprobe)
+    cents_p = jnp.take(idx.centroids, probes, axis=0)
+    residuals = q_rot[:, None, :] - cents_p
+    lut = pq.adc_lut(residuals.reshape(-1, q_rot.shape[1]),
+                     idx.codebooks, idx.m)
+    lut = lut.reshape(8, nprobe, idx.m, 16, 16)
+    pv, pi = adc_scan.pallas_adc_topk(lut, probes, idx.codes, idx.slot_ids,
+                                      k, g=g)
+    pi = np.asarray(pi)
+    ji_np = np.asarray(ji)
+    for r in range(8):
+        inter = len(set(ji_np[r].tolist()) & set(pi[r].tolist()))
+        assert inter >= int(0.8 * k)
+        assert len(set(pi[r].tolist())) == k
