@@ -194,7 +194,7 @@ class ShardedIVFPQIndex:
     Refine (if any) runs after the merge against the flat store."""
 
     def __init__(self, mesh: Mesh, rotation, centroids, codebooks, codes,
-                 slot_ids, n: int, d: int, m: int):
+                 slot_ids, n: int, d: int, m: int, replicas: int = 1):
         self.mesh = mesh
         self.rotation = rotation      # replicated [Dp, Dp] | None
         self.centroids = centroids    # [nl_pad, Dp] sharded on lists
@@ -204,6 +204,7 @@ class ShardedIVFPQIndex:
         self.n = n
         self.d = d
         self.m = m
+        self.replicas = replicas      # >1: replicated assignment (dedup merge)
         self._jit_cache = {}
 
     @property
@@ -243,7 +244,8 @@ class ShardedIVFPQIndex:
             jax.device_put(pq_idx.codebooks, rep),
             jax.device_put(jnp.asarray(padded["codes"]), sh3),
             jax.device_put(jnp.asarray(padded["slot_ids"]), sh2),
-            pq_idx.n, pq_idx.d, pq_idx.m)
+            pq_idx.n, pq_idx.d, pq_idx.m,
+            replicas=getattr(pq_idx, "replicas", 1))
 
     def _compiled(self, b: int, k: int, nprobe_per_shard: int):
         key = (b, k, nprobe_per_shard)
@@ -251,19 +253,28 @@ class ShardedIVFPQIndex:
         if fn is not None:
             return fn
         from nvdb_tpu.index.ivf_pq import _ivfpq_search_block
+        from nvdb_tpu.kernels import ops
 
         mesh = self.mesh
         m = self.m
+        dedup = self.replicas > 1
 
         def local(q_rot, c, cb, codes, si):
             v, i = _ivfpq_search_block(q_rot, c, cb, codes, si, k,
-                                       nprobe_per_shard, m, backend="jnp")
+                                       nprobe_per_shard, m, backend="jnp",
+                                       dedup=dedup)
             av = jax.lax.all_gather(v, meshmod.ROWS, axis=0)   # [S, B, k]
             ai = jax.lax.all_gather(i, meshmod.ROWS, axis=0)
             B = q_rot.shape[0]
             S = av.shape[0]
             av = jnp.moveaxis(av, 0, 1).reshape(B, S * k)
             ai = jnp.moveaxis(ai, 0, 1).reshape(B, S * k)
+            if dedup:
+                # a replicated row's copies can surface from two shards
+                w = min(2 * k, S * k)
+                tv, idx = jax.lax.top_k(av, w)
+                ti = jnp.take_along_axis(ai, idx, axis=1)
+                return ops.dedup_topk(tv, ti, k)
             tv, idx = jax.lax.top_k(av, k)
             return tv, jnp.take_along_axis(ai, idx, axis=1)
 

@@ -251,3 +251,31 @@ def test_sharded_partition(mesh8, data):
     _, ids_sh = sh.search(queries, 10, nprobe=16, rerank_k=50)
     _, ids_1d = pr.search(queries, 10, nprobe=16, rerank_k=50)
     assert rec(ids_sh) >= rec(ids_1d) - 0.1
+
+
+def test_sharded_ivfpq_replicated_dedup():
+    """A replicated index sharded over the mesh: a row's two copies can live
+    on different shards, so the cross-shard merge must dedup — output ids
+    unique, recall within noise of the single-device replicated search."""
+    import numpy as np
+    from nvdb_tpu.index.ivf_pq import IVFPQIndex
+    from nvdb_tpu.dist import mesh as meshmod
+    from nvdb_tpu.dist.sharded_ivf import ShardedIVFPQIndex
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((8000, 64)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    q = base[rng.choice(8000, 16, replace=False)]
+    one = IVFPQIndex.build(base, nlist=32, m=8, use_opq=False, n_iters=6,
+                           seed=7)
+    rep = IVFPQIndex.repack(one, base, pad_factor=2.0, replicas=2)
+    sh = ShardedIVFPQIndex.from_index(rep, meshmod.row_mesh(8))
+    assert sh.replicas == 2
+    _, i_single = rep.search(q, 10, nprobe=32)
+    _, i_shard = sh.search(q, 10, nprobe=32)
+    for row in np.asarray(i_shard):
+        assert len(set(row.tolist())) == 10
+    agree = np.mean([len(set(a) & set(b)) / 10 for a, b in
+                     zip(np.asarray(i_single).tolist(),
+                         np.asarray(i_shard).tolist())])
+    assert agree >= 0.9  # full probing; shard union ~= global probing
