@@ -56,9 +56,13 @@ def _ivfpq_search_block(
     lut = pq.adc_lut(residuals.reshape(B * nprobe, -1), codebooks, m)
 
     if backend == "pallas":
-        # gather-free nibble one-hot kernel; LUT pre-split [B, P, M, 16, 16]
+        # gather-free nibble one-hot kernel; LUT pre-split [B, P, M, 16, 16].
+        # bf16 here is free precision-wise (the kernel rounds to bf16 for the
+        # one-hot matmul anyway) and halves the [B, P, M, 256] slab — at
+        # B=256, P=64, m=96 that slab is 1.6 GB in f32, a real OOM risk
         return adc_scan.pallas_adc_topk(
-            lut.reshape(B, nprobe, m, 16, 16), probes, codes, slot_ids, k)
+            lut.astype(jnp.bfloat16).reshape(B, nprobe, m, 16, 16),
+            probes, codes, slot_ids, k)
 
     lut = lut.reshape(B, nprobe, m, pq.KSUB)                     # [B, P, M, 256]
     code_slab = jnp.take(codes, probes, axis=0)                  # [B, P, M, L]
