@@ -257,12 +257,13 @@ class ShardedIVFPQIndex:
 
         mesh = self.mesh
         m = self.m
-        dedup = self.replicas > 1
+        replicas = self.replicas
+        dedup = replicas > 1
 
         def local(q_rot, c, cb, codes, si):
             v, i = _ivfpq_search_block(q_rot, c, cb, codes, si, k,
                                        nprobe_per_shard, m, backend="jnp",
-                                       dedup=dedup)
+                                       dedup=replicas)
             av = jax.lax.all_gather(v, meshmod.ROWS, axis=0)   # [S, B, k]
             ai = jax.lax.all_gather(i, meshmod.ROWS, axis=0)
             B = q_rot.shape[0]
@@ -270,8 +271,8 @@ class ShardedIVFPQIndex:
             av = jnp.moveaxis(av, 0, 1).reshape(B, S * k)
             ai = jnp.moveaxis(ai, 0, 1).reshape(B, S * k)
             if dedup:
-                # a replicated row's copies can surface from two shards
-                w = min(2 * k, S * k)
+                # a replicated row's copies can surface from several shards
+                w = min(replicas * k, S * k)
                 tv, idx = jax.lax.top_k(av, w)
                 ti = jnp.take_along_axis(ai, idx, axis=1)
                 return ops.dedup_topk(tv, ti, k)

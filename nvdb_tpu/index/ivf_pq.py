@@ -43,7 +43,7 @@ def _ivfpq_search_block(
     nprobe: int,
     m: int,
     backend: str = "jnp",
-    dedup: bool = False,      # replicated indexes: collapse duplicate ids
+    dedup: int = 0,           # replica count of the index (<=1: ids unique)
 ) -> Tuple[jax.Array, jax.Array]:
     B = q_rot.shape[0]
     qc = jnp.dot(q_rot, centroids.T, preferred_element_type=jnp.float32,
@@ -70,9 +70,10 @@ def _ivfpq_search_block(
     sids = jnp.take(slot_ids, probes, axis=0)                    # [B, P, L]
     scores = pq.adc_scores(lut, code_slab)                       # [B, P, L] (-L2)
     scores = jnp.where(sids >= 0, scores, -jnp.inf)
-    if dedup:
-        # grab 2k (every slot could be one of a replica pair), then collapse
-        w = min(2 * k, scores.reshape(B, -1).shape[1])
+    if dedup > 1:
+        # every slot could be one of `dedup` copies: widen by that factor
+        # before collapsing, or the deduped row can hold fewer than k ids
+        w = min(dedup * k, scores.reshape(B, -1).shape[1])
         vals, idx = jax.lax.top_k(scores.reshape(B, -1), w)
         ids = jnp.take_along_axis(sids.reshape(B, -1), idx, axis=1)
         return ops.dedup_topk(vals, ids, k)
@@ -219,7 +220,7 @@ class IVFPQIndex:
         cls,
         idx: "IVFPQIndex",
         rows_f32: np.ndarray,
-        pad_factor: float = 5.0,
+        pad_factor: float = 4.0,   # the measured sweet spot (BENCHMARKS §4)
         spill_candidates: int = 8,
         replicas: int = 1,
     ) -> "IVFPQIndex":
@@ -307,7 +308,7 @@ class IVFPQIndex:
         v, i = _ivfpq_search_block(q_rot, self.centroids, self.codebooks,
                                    self.codes, self.slot_ids, kk, nprobe,
                                    self.m, backend=backend,
-                                   dedup=self.replicas > 1)
+                                   dedup=self.replicas)
         if refine_k > 0:
             if refine_store is None:
                 raise ValueError("refine_k > 0 requires refine_store")

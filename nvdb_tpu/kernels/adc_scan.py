@@ -121,6 +121,19 @@ def _make_kernel(k: int, m: int, lcap: int, g: int):
             idv = jnp.max(jnp.where(s_c == mx, sids, -1), axis=1,
                           keepdims=True)
             s_c = jnp.where(sids == idv, NEG_INF, s_c)
+            # replicated indexes: a copy of idv inserted by an EARLIER probe
+            # step may already hold a slot — absorb it (keep the better
+            # score, free its slot) instead of occupying a second slot,
+            # which would evict a genuine candidate and make the final
+            # id-collapsing sort emit -1 filler. idv == -1 (exhausted
+            # round) matches only empty slots: zapping them is a no-op and
+            # keep below is False.
+            dup = ids_c == idv
+            old = jnp.max(jnp.where(dup, vals_c, NEG_INF), axis=1,
+                          keepdims=True)
+            mx = jnp.maximum(mx, old)
+            vals_c = jnp.where(dup, NEG_INF, vals_c)
+            ids_c = jnp.where(dup, -1, ids_c)
             vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
                            keepdims=True)
             keep = mx > vmin

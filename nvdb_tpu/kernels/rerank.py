@@ -10,13 +10,14 @@ ever materialized in HBM, which is 2x less traffic than the jnp
 take+einsum path in ops.exact_rerank, its oracle).
 
 Mosaic alignment: dynamic dim-0 slices of a tiled HBM memref must be
-8-row aligned, so a single candidate row cannot be DMA'd directly. The
-store is viewed as [Np/8, 8, Dp] (dim 0 untiled), the aligned 8-row block
-containing each candidate is copied, all 8 rows are scored on the MXU and
-the 7 wrong ones are masked by comparing each lane's sublane position to
-``cid & 7`` — branch-free, no relayouts, and it removes the round-1
-scalar id-select loop entirely (candidate ids/scales arrive as normal VMEM
-vector inputs instead).
+aligned to the dtype's sublane tile (8 rows f32 / 16 bf16 / 32 int8), so a
+single candidate row cannot be DMA'd directly. The store is viewed as
+[Np/blk, blk, Dp] (dim 0 untiled), the aligned blk-row block containing
+each candidate is copied, all blk rows are scored on the MXU and the wrong
+ones are masked by comparing each lane's block position to ``cid % blk`` —
+branch-free, no relayouts, and it removes the round-1 scalar id-select
+loop entirely (candidate ids/scales arrive as normal VMEM vector inputs
+instead).
 
 Scoring matches the reference refine semantics: exact L2 against the
 full-precision store, rank by  2*q.row - ||row||^2  (== -L2 + const ||q||^2,
@@ -36,10 +37,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nvdb_tpu.kernels.flat_scan import _merge_topk_sorted, NEG_INF
 
-_BLK = 8  # HBM sublane tile: the smallest alignable row-block
+# HBM sublane tile per dtype — the smallest alignable row-block. f32 tiles
+# at (8, 128), bf16 at (16, 128), int8 at (32, 128): viewing the store as
+# [Np/blk, blk, Dp] is only layout-free when blk matches the dtype's tile
+# (a too-small blk makes Mosaic pad or copy the whole store).
+_BLK_OF = {"float32": 8, "bfloat16": 16, "int8": 32}
 
 
-def _make_kernel(k: int, chunk: int, has_scales: bool):
+def _make_kernel(k: int, chunk: int, blk: int, has_scales: bool):
     def kernel(ids_ref, q_ref, idv_ref, *rest):
         rest = list(rest)
         sc_ref = rest.pop(0) if has_scales else None
@@ -54,18 +59,18 @@ def _make_kernel(k: int, chunk: int, has_scales: bool):
             sids_scr[:] = jnp.full(sids_scr.shape, -1, jnp.int32)
 
         # issue the chunk's block DMAs (invalid ids clamp to row 0; masked
-        # later). Each copies the aligned 8-row block holding candidate c.
+        # later). Each copies the aligned blk-row block holding candidate c.
         for c in range(chunk):
             cid = ids_ref[b, j * chunk + c]
-            blk = jnp.maximum(cid, 0) // _BLK
+            bi = jnp.maximum(cid, 0) // blk
             pltpu.make_async_copy(
-                v_hbm.at[pl.ds(blk, 1)], rows_vmem.at[pl.ds(c, 1)], sem
+                v_hbm.at[pl.ds(bi, 1)], rows_vmem.at[pl.ds(c, 1)], sem
             ).start()
         for c in range(chunk):
             pltpu.make_async_copy(
                 v_hbm.at[pl.ds(0, 1)], rows_vmem.at[pl.ds(0, 1)], sem).wait()
 
-        w = chunk * _BLK
+        w = chunk * blk
         rows = rows_vmem[:].reshape(w, rows_vmem.shape[-1]).astype(jnp.float32)
         q = q_ref[0]                                         # [1, Dp]
         dots = jax.lax.dot_general(
@@ -76,7 +81,7 @@ def _make_kernel(k: int, chunk: int, has_scales: bool):
 
         idrep = idv_ref[0, 0]                                # [1, w]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-        keep = ((lane % _BLK) == (idrep % _BLK)) & (idrep >= 0)
+        keep = ((lane % blk) == (idrep % blk)) & (idrep >= 0)
         if sc_ref is not None:
             sc = sc_ref[0, 0]                                # [1, w]
             s = 2.0 * sc * dots - (sc * sc) * r2
@@ -123,19 +128,20 @@ def pallas_rerank(
     cand_ids = cand_ids.astype(jnp.int32)
     nj = r_pad // chunk
 
-    np_pad = ((vectors.shape[0] + _BLK - 1) // _BLK) * _BLK
+    blk = _BLK_OF[str(vectors.dtype)]
+    np_pad = ((vectors.shape[0] + blk - 1) // blk) * blk
     if np_pad != vectors.shape[0]:
-        # stores pad capacity to >=8 already; this copy only hits tiny tests
+        # stores pad capacity generously already; this copy hits tiny tests
         vectors = jnp.pad(vectors, ((0, np_pad - vectors.shape[0]), (0, 0)))
-    v_blocks = vectors.reshape(np_pad // _BLK, _BLK, Dp)
+    v_blocks = vectors.reshape(np_pad // blk, blk, Dp)
 
-    # candidate ids pre-expanded 8x (lane p of candidate c holds cid_c, so the
-    # kernel masks by lane%8 == cid%8 with zero in-kernel relayouts); for int8
-    # stores the per-candidate scale rides the same way. [B, R] scalar
-    # gathers/repeats are XLA-side and tiny next to the row DMAs.
-    w = chunk * _BLK
-    idv = jnp.repeat(cand_ids, _BLK, axis=1).reshape(B, nj, 1, w)
-    kernel = _make_kernel(k, chunk, scales is not None)
+    # candidate ids pre-expanded blk-x (lane p of candidate c holds cid_c, so
+    # the kernel masks by lane%blk == cid%blk with zero in-kernel relayouts);
+    # for int8 stores the per-candidate scale rides the same way. [B, R]
+    # scalar gathers/repeats are XLA-side and tiny next to the row DMAs.
+    w = chunk * blk
+    idv = jnp.repeat(cand_ids, blk, axis=1).reshape(B, nj, 1, w)
+    kernel = _make_kernel(k, chunk, blk, scales is not None)
 
     in_specs = [
         pl.BlockSpec((1, 1, Dp), lambda b, j, ids: (b, 0, 0),
@@ -146,7 +152,7 @@ def pallas_rerank(
     args = [queries.reshape(B, 1, Dp), idv]
     if scales is not None:
         sc = jnp.take(scales, jnp.maximum(cand_ids, 0)).astype(jnp.float32)
-        sc = jnp.repeat(sc, _BLK, axis=1)
+        sc = jnp.repeat(sc, blk, axis=1)
         in_specs.append(
             pl.BlockSpec((1, 1, 1, w), lambda b, j, ids: (b, j, 0, 0),
                          memory_space=pltpu.VMEM))
@@ -155,7 +161,7 @@ def pallas_rerank(
     args.append(v_blocks)
 
     scratch = [
-        pltpu.VMEM((chunk, _BLK, Dp), vectors.dtype),
+        pltpu.VMEM((chunk, blk, Dp), vectors.dtype),
         pltpu.VMEM((8, k), jnp.float32),
         pltpu.VMEM((8, k), jnp.int32),
         pltpu.SemaphoreType.DMA,

@@ -54,7 +54,13 @@ def main(argv=None):
     from nvdb_tpu.index.ivf_pq import IVFPQIndex
 
     if args.pad_factor is None:
-        args.pad_factor = 1.5 if args.kind == "ivfflat" else 2.5
+        if args.repack_from:
+            # repack exists to ESCAPE tight packing: default to the roomier
+            # repack-method capacities, not the build defaults (a default
+            # ivfflat repack at the build pad would be a same-capacity no-op)
+            args.pad_factor = 2.5 if args.kind == "ivfflat" else 4.0
+        else:
+            args.pad_factor = 1.5 if args.kind == "ivfflat" else 2.5
     f = vecbin.VecbinFile(args.base)
     rows = f.rows_f32()
     t0 = time.perf_counter()

@@ -96,3 +96,37 @@ def test_pallas_adc_g_grouping(built, g):
         inter = len(set(ji_np[r].tolist()) & set(pi[r].tolist()))
         assert inter >= int(0.8 * k)
         assert len(set(pi[r].tolist())) == k
+
+
+def test_pallas_adc_replicated_ids_share_one_slot():
+    """Regression (round-2 review): a replicated row's second copy, probed in
+    a LATER grid step, must absorb into the existing slot (keeping the best
+    score) instead of occupying a second slot — which evicted genuine
+    candidates and made the final id-collapsing sort emit -1 filler."""
+    from nvdb_tpu.kernels import adc_scan
+
+    m, lcap, nlist, k = 16, 128, 8, 10
+    rng = np.random.default_rng(0)
+    # lists 0 and 4 hold the SAME 12 ids (copies, slightly different codes);
+    # lists 1-3 hold 12 more unique ids each
+    codes = np.zeros((nlist, m, lcap), np.uint8)
+    slot_ids = np.full((nlist, lcap), -1, np.int32)
+    nxt = 12
+    for li in range(nlist):
+        if li == 4:
+            slot_ids[4, :12] = slot_ids[0, :12]
+        else:
+            if li == 0:
+                slot_ids[0, :12] = np.arange(12)
+            else:
+                slot_ids[li, :12] = np.arange(nxt, nxt + 12)
+                nxt += 12
+        codes[li, :, :12] = rng.integers(0, 256, (m, 12))
+    lut = rng.standard_normal((1, nlist, m, 16, 16)).astype(np.float32) * 0.1
+    probes = np.arange(nlist, dtype=np.int32)[None, :]
+    pv, pi = adc_scan.pallas_adc_topk(
+        jnp.asarray(lut), jnp.asarray(probes), jnp.asarray(codes),
+        jnp.asarray(slot_ids), k, g=4)
+    pi = np.asarray(pi)[0]
+    assert (pi >= 0).all(), pi               # no -1 filler
+    assert len(set(pi.tolist())) == k        # unique ids
