@@ -48,6 +48,9 @@ MAX_K = 128  # top-k kept in VMEM registers; ample vs the reference's K cap of 6
 
 K_LANES = 128  # slot-buffer width for the "extract" merge (one lane row)
 
+# perf-A/B-only kernel variants that return wrong results by design
+_DIAG_MERGES = ("nomerge", "fixed2", "mmonly")
+
 
 def _merge_topk_sorted(cvals: jax.Array, cids: jax.Array, k: int
                        ) -> Tuple[jax.Array, jax.Array]:
@@ -261,8 +264,14 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
                 m1 = jnp.max(r, axis=1, keepdims=True)            # [B, 1]
                 j = jnp.max(jnp.where(r == m1, ccol, -1), axis=1,
                             keepdims=True)
-                idv = jnp.max(jnp.where(r == m1, rmid, -1), axis=1,
-                              keepdims=True)
+                # constrain the inserted id to the zapped class: on an exact
+                # cross-class score tie, picking idv independently (max rmid
+                # over ALL tied classes) could insert class A's id while
+                # zapping class B — the same id would insert twice and a true
+                # neighbor drop. Tying idv to class j leaves the other tied
+                # classes live for later rounds (ADVICE.md round-2 medium).
+                idv = jnp.max(jnp.where((r == m1) & (ccol == j), rmid, -1),
+                              axis=1, keepdims=True)
                 rm_scr[:] = jnp.where(ccol == j, NEG_INF, r)
                 vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
                                keepdims=True)
@@ -553,8 +562,15 @@ def pallas_flat_topk(
         raise ValueError(f"k={k} exceeds MAX_K={MAX_K}")
     if merge is None:
         merge = os.environ.get("NVDB_MERGE", "extract")
+        # diagnostic modes return WRONG results by design; accepting them
+        # from a lingering env var would silently corrupt every search, so
+        # they are only reachable via an explicit merge= argument
+        if merge in _DIAG_MERGES:
+            raise ValueError(
+                f"NVDB_MERGE={merge!r} is a diagnostic mode with wrong "
+                "results by design; pass merge= explicitly to use it")
     if merge not in ("extract", "chain", "pipeline", "pipeline2", "rounds",
-                     "stride", "chunk", "nomerge", "fixed2", "mmonly"):
+                     "stride", "chunk") + _DIAG_MERGES:
         raise ValueError(f"unknown merge mode {merge!r}")
     B, Dp = queries.shape
     Np = vectors.shape[0]

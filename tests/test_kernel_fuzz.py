@@ -19,7 +19,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("merge", ["extract", "pipeline", "pipeline2",
+@pytest.mark.parametrize("merge", ["extract", "chain", "pipeline", "pipeline2",
                                    "rounds", "stride", "chunk"])
 @pytest.mark.parametrize("n_pad,n,d,b,k,tile,dtype", CASES)
 def test_fuzz_case(n_pad, n, d, b, k, tile, dtype, merge):
@@ -58,3 +58,50 @@ def test_fuzz_case(n_pad, n, d, b, k, tile, dtype, merge):
     assert np.all(np.diff(vals[:, :kk], axis=1) <= 1e-6)
     for row in ids[:, :kk]:
         assert len(set(row.tolist())) == kk
+
+
+@pytest.mark.parametrize("merge", ["stride", "chunk", "extract", "chain"])
+def test_duplicate_row_cross_class_tie(merge):
+    """Exact cross-class score ties from duplicated rows (common in real
+    corpora) must yield BOTH ids. Regression for the narrow_rounds tie bug
+    (ADVICE.md round 2): the stride/chunk merges picked the class to zap and
+    the id to insert independently, so when the max-rmid id belonged to a
+    different class than the max-ccol class, one id inserted twice and a
+    true neighbor dropped."""
+    tile, d, k = 1024, 128, 4
+    n = 2 * tile
+    C = 512  # _stride_classes(1024) -> 512, so nstr = 2
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((n, d)).astype(np.float32) * 0.05
+    base /= np.linalg.norm(base, axis=1, keepdims=True) * 20  # low scores
+    q = rng.standard_normal((d,)).astype(np.float32)
+    q /= np.linalg.norm(q)
+    # duplicates in tile 1 (past buffer warmup), engineered so the max-rmid
+    # id belongs to class 37 (stride/chunk index 1 -> rmid = 512+37+1024)
+    # while the max-ccol class is 200 (index 0 -> rmid = 200+1024)
+    ia = tile + C + 37   # class 37, rmid 1573
+    ib = tile + 200      # class 200, rmid 1224
+    base[ia] = q
+    base[ib] = q
+    queries = np.tile(q, (8, 1))
+    vals, ids = pallas_flat_topk(jnp.asarray(queries), jnp.asarray(base),
+                                 None, n, k, tile_rows=tile, merge=merge)
+    ids = np.asarray(ids)
+    for row in ids:
+        assert ia in row.tolist() and ib in row.tolist(), row
+        assert len(set(row.tolist())) == k
+
+
+def test_diagnostic_merge_rejected_from_env(monkeypatch):
+    """Wrong-by-design diagnostic modes must not be reachable via a
+    lingering NVDB_MERGE env var (ADVICE.md round 2)."""
+    base = synth.normalized_gaussian(256, 128, seed=0)
+    q = jnp.asarray(base[:8])
+    for diag in ("mmonly", "nomerge", "fixed2"):
+        monkeypatch.setenv("NVDB_MERGE", diag)
+        with pytest.raises(ValueError, match="diagnostic"):
+            pallas_flat_topk(q, jnp.asarray(base), None, 256, 4,
+                             tile_rows=128)
+    # explicit argument still works (perf A/B path)
+    pallas_flat_topk(q, jnp.asarray(base), None, 256, 4, tile_rows=128,
+                     merge="mmonly")
