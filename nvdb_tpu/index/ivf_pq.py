@@ -90,6 +90,7 @@ def _refine_block(
     scales,                   # [Np] | None
     k: int,
     backend: str = "jnp",
+    norms2=None,              # [Np] f32 (VectorStore.norms2) for pallas
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact L2 rerank of ADC candidates against the full-precision store —
     the cuda_l2_topk_batch role (cuda_refine.cu:839-1175), fused on-device.
@@ -99,7 +100,8 @@ def _refine_block(
     if backend == "pallas":
         from nvdb_tpu.kernels.rerank import pallas_rerank
 
-        return pallas_rerank(queries, cand_ids, vectors, scales, k)
+        return pallas_rerank(queries, cand_ids, vectors, scales, k,
+                             norms2=norms2)
     safe = jnp.maximum(cand_ids, 0)
     rows = jnp.take(vectors, safe, axis=0).astype(jnp.float32)   # [B, R, Dp]
     if scales is not None:
@@ -312,9 +314,15 @@ class IVFPQIndex:
         if refine_k > 0:
             if refine_store is None:
                 raise ValueError("refine_k > 0 requires refine_store")
-            v, i = _refine_block(queries, i[:, :refine_k],
-                                 refine_store.vectors, refine_store.scales, k,
-                                 backend=backend)
+            # refine backend picked from the measured size crossover, not
+            # blindly inheriting the ADC backend
+            from nvdb_tpu.kernels.dispatch import refine_backend
+            rb = (refine_backend(queries.shape[0], refine_k)
+                  if backend == "pallas" else backend)
+            v, i = _refine_block(
+                queries, i[:, :refine_k],
+                refine_store.vectors, refine_store.scales, k, backend=rb,
+                norms2=refine_store.norms2() if rb == "pallas" else None)
         return v[:, :k], i[:, :k]
 
     def search(

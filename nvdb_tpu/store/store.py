@@ -52,6 +52,16 @@ class VectorStore:
     d: int
     dtype_code: int
     src_dtype_code: int
+    # lazily cached [Np] f32 squared row norms (raw payload; int8 scale is
+    # applied at score time) — the rerank kernel's precomputed-norm input
+    _norms2: Optional[jax.Array] = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    def norms2(self) -> jax.Array:
+        if self._norms2 is None:
+            from nvdb_tpu.kernels.rerank import store_norms2
+            self._norms2 = jax.jit(store_norms2)(self.vectors)
+        return self._norms2
 
     # -- constructors --------------------------------------------------------
 

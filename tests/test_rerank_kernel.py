@@ -46,6 +46,27 @@ def test_rerank_matches_oracle(dtype):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_rerank_b_not_multiple_of_bq_and_norms2():
+    """Query-block padding (B % bq != 0) and the precomputed-norms serving
+    path must agree with the oracle."""
+    from nvdb_tpu.kernels.rerank import store_norms2
+
+    rng = np.random.default_rng(11)
+    N, D, B, R, k = 2048, 128, 12, 33, 7
+    base = rng.standard_normal((N, D), dtype=np.float32)
+    q = rng.standard_normal((B, D), dtype=np.float32)
+    cand = np.stack([rng.choice(N, R, replace=False) for _ in range(B)]
+                    ).astype(np.int32)
+    n2 = store_norms2(jnp.asarray(base))
+    pv, pi = pallas_rerank(jnp.asarray(q), jnp.asarray(cand),
+                           jnp.asarray(base), None, k, norms2=n2)
+    jv, ji = ops.exact_rerank(jnp.asarray(q), _gathered(base, cand),
+                              jnp.asarray(cand), k)
+    assert np.mean(np.asarray(pi) == np.asarray(ji)) == 1.0
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_rerank_chunk_not_dividing_r():
     rng = np.random.default_rng(9)
     N, D, B, R, k = 1024, 128, 8, 37, 5   # R % chunk != 0
