@@ -184,6 +184,72 @@ def _pad_lists(arrays, nlist: int, S: int, poison_centroids: bool):
     return out
 
 
+def sharded_refine(
+    mesh: Mesh,
+    queries: jax.Array,       # [B, Dp] f32, replicated
+    cand_ids: jax.Array,      # [B, R] int32 global ids (-1 padded), replicated
+    vectors: jax.Array,       # [Np, Dp] row-sharded flat store payload
+    scales,                   # [Np] f32 row-sharded | None
+    k: int,
+    metric: str = "l2",
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact rerank over a ROW-SHARDED flat store — the 100M-scale refine
+    stage (VERDICT r2 weak #8): no chip holds the full store, so each shard
+    reranks only the candidate ids whose rows it owns (gathered from its
+    LOCAL shard), and per-shard partial top-k results merge with one
+    all_gather over the rows axis. Only [S, B, k] scores/ids cross the
+    interconnect; candidate ids are globally unique, so the merged top-k
+    needs no dedup."""
+    from nvdb_tpu.kernels import ops
+
+    S = mesh.shape[meshmod.ROWS]
+    Np = vectors.shape[0]
+    assert Np % S == 0
+    rps = Np // S
+    R = cand_ids.shape[1]
+    kk = min(k, R)
+
+    def local(q, cid, v, s):
+        sid = jax.lax.axis_index(meshmod.ROWS)
+        lid = cid - sid * rps
+        own = (cid >= 0) & (lid >= 0) & (lid < rps)
+        safe = jnp.clip(lid, 0, rps - 1)
+        rows = jnp.take(v, safe, axis=0).astype(jnp.float32)   # [B, R, Dp]
+        if s is not None:
+            rows = rows * jnp.take(s, safe)[:, :, None]
+        cids_l = jnp.where(own, cid, -1)  # unowned rows rank last
+        lv, li = ops.exact_rerank(q, rows, cids_l, kk, metric=metric)
+        av = jax.lax.all_gather(lv, meshmod.ROWS, axis=0)      # [S, B, kk]
+        ai = jax.lax.all_gather(li, meshmod.ROWS, axis=0)
+        B = q.shape[0]
+        av = jnp.moveaxis(av, 0, 1).reshape(B, S * kk)
+        ai = jnp.moveaxis(ai, 0, 1).reshape(B, S * kk)
+        tv, idx = jax.lax.top_k(av, k)
+        return tv, jnp.take_along_axis(ai, idx, axis=1)
+
+    rep = P(None, None)
+    if scales is None:
+        return jax.shard_map(
+            lambda q, cid, v: local(q, cid, v, None), mesh=mesh,
+            in_specs=(rep, rep, P(meshmod.ROWS, None)),
+            out_specs=(rep, rep), check_vma=False,
+        )(queries, cand_ids.astype(jnp.int32), vectors)
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, P(meshmod.ROWS, None), P(meshmod.ROWS)),
+        out_specs=(rep, rep), check_vma=False,
+    )(queries, cand_ids.astype(jnp.int32), vectors, scales)
+
+
+def _row_sharded_over(arr: jax.Array, mesh: Mesh) -> bool:
+    """True if ``arr`` is sharded over this mesh's rows axis (the signal
+    that the refine store does NOT fit one device and the refine must run
+    sharded)."""
+    sh = arr.sharding
+    return (isinstance(sh, NamedSharding) and sh.mesh.shape == mesh.shape
+            and len(sh.spec) > 0 and sh.spec[0] == meshmod.ROWS)
+
+
 class ShardedIVFPQIndex:
     """IVF-PQ with inverted lists (centroids + code payload) sharded over the
     mesh — the compressed-index analogue of ShardedIVFFlatIndex, completing
@@ -306,11 +372,18 @@ class ShardedIVFPQIndex:
         if refine_k > 0:
             if refine_store is None:
                 raise ValueError("refine_k > 0 requires refine_store")
-            from nvdb_tpu.index.ivf_pq import _refine_block
+            if _row_sharded_over(refine_store.vectors, self.mesh):
+                # 100M-scale path: the flat store is sharded with the lists;
+                # each shard reranks the candidates it owns
+                v, i = sharded_refine(self.mesh, queries, i[:, :refine_k],
+                                      refine_store.vectors,
+                                      refine_store.scales, k)
+            else:
+                from nvdb_tpu.index.ivf_pq import _refine_block
 
-            v, i = _refine_block(queries, i[:, :refine_k],
-                                 refine_store.vectors, refine_store.scales, k,
-                                 backend="jnp")
+                v, i = _refine_block(queries, i[:, :refine_k],
+                                     refine_store.vectors,
+                                     refine_store.scales, k, backend="jnp")
         return v[:, :k], i[:, :k]
 
     def search(self, queries: np.ndarray, k: int, nprobe: int,
@@ -381,7 +454,11 @@ class ShardedPartitionIndex:
         store = self.refine_store
         q = jnp.asarray(store.pad_queries(np.atleast_2d(queries)))
         cid = jnp.asarray(ids, dtype=jnp.int32)
-        rows = jnp.take(store.vectors, jnp.maximum(cid, 0), axis=0)
-        rv, ri = ops.exact_rerank(q, rows.astype(jnp.float32), cid, k,
-                                  metric="dot")
+        if _row_sharded_over(store.vectors, self.ivf.mesh):
+            rv, ri = sharded_refine(self.ivf.mesh, q, cid, store.vectors,
+                                    store.scales, k, metric="dot")
+        else:
+            rows = jnp.take(store.vectors, jnp.maximum(cid, 0), axis=0)
+            rv, ri = ops.exact_rerank(q, rows.astype(jnp.float32), cid, k,
+                                      metric="dot")
         return np.asarray(rv), np.asarray(ri)

@@ -153,7 +153,9 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
             gcol = (jax.lax.broadcasted_iota(jnp.int32, (B, tile_rows), 1)
                     + i * tile_rows)
             valid = gcol < n_valid
-            s = jnp.where(valid, s_raw, NEG_INF)
+            # "key" folds validity into the packed key instead of an -inf
+            # score mask (one fewer full-width pass)
+            s = None if merge == "key" else jnp.where(valid, s_raw, NEG_INF)
 
         if merge == "mmonly":
             # DIAGNOSTIC floor: matmul only (plus a 128-lane touch of the
@@ -185,6 +187,128 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
 
             return
 
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, K_LANES), 1)
+        live = lane < k
+
+        if merge == "key":
+            # BYTES-level attack on the merge cost (VERDICT round-2 next #1):
+            # pack (truncated-score, col) into ONE int32 key per lane —
+            #   key = mono16(score)[31:16] | col[15:0]
+            # where mono16 is the sign-fixed monotone int transform of the
+            # f32 bits truncated to 16 (== bf16-precision ranking). Every
+            # extraction round is then just max-reduce + zap on ONE int32
+            # array: no separate id-select pass, no [B,T] id iota compare,
+            # no mixed bf16/int32 mask relayouts. Keys are unique per lane
+            # (col in the low bits), so the zap removes exactly one lane.
+            # Ties in truncated score resolve to the larger col/id, and
+            # returned vals are truncated-precision (documented; ids are
+            # what recall consumes, and refine re-scores in f32).
+            KMASK = jnp.int32(-65536)            # 0xFFFF0000
+            IMIN = jnp.int32(-2147483648)
+            col = jax.lax.broadcasted_iota(jnp.int32, (B, tile_rows), 1)
+            bbits = jax.lax.bitcast_convert_type(s_raw, jnp.int32)
+            ks = jnp.where(bbits >= 0, bbits,
+                           jnp.bitwise_xor(jnp.bitwise_not(bbits), IMIN))
+            keyv = jnp.bitwise_or(jnp.bitwise_and(ks, KMASK), col)
+            s_scr[:] = jnp.where(valid, keyv, IMIN)
+
+            def _enc1(x):
+                """encode a [B,1] f32 (bf16-representable) into key space"""
+                tb = jax.lax.bitcast_convert_type(x, jnp.int32)
+                return jnp.where(tb >= 0, tb,
+                                 jnp.bitwise_xor(jnp.bitwise_not(tb), IMIN))
+
+            def _dec1(kk):
+                """decode a [B,1] key back to its truncated f32 score"""
+                ksd = jnp.where(kk >= 0, jnp.bitwise_and(kk, KMASK),
+                                jnp.bitwise_or(kk, jnp.int32(0xFFFF)))
+                bd = jnp.where(ksd >= 0, ksd,
+                               jnp.bitwise_not(jnp.bitwise_xor(ksd, IMIN)))
+                return jax.lax.bitcast_convert_type(bd, jnp.float32)
+
+            theta0 = jnp.min(jnp.where(live, vals_scr[:], POS_INF), axis=1,
+                             keepdims=True)
+            tkey = jnp.bitwise_or(jnp.bitwise_and(_enc1(theta0), KMASK),
+                                  jnp.int32(0xFFFF))
+            cnt = jnp.sum((s_scr[:] > tkey).astype(jnp.int32), axis=1)
+            c = jnp.minimum(jnp.max(cnt), k)
+
+            def body_key(_, carry):
+                vals_c, ids_c = carry
+                kc = s_scr[:]
+                kmax = jnp.max(kc, axis=1, keepdims=True)        # [B, 1]
+                s_scr[:] = jnp.where(kc == kmax, IMIN, kc)
+                m = _dec1(kmax)
+                idv = jnp.bitwise_and(kmax, jnp.int32(0xFFFF)) + i * tile_rows
+                vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+                               keepdims=True)
+                ins = (m > vmin) & (kmax > IMIN)
+                slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
+                               axis=1, keepdims=True)
+                do = ins & (lane == slot)
+                vals_c = jnp.where(do, m, vals_c)
+                ids_c = jnp.where(do, idv, ids_c)
+                return vals_c, ids_c
+
+            vals1, ids1 = jax.lax.fori_loop(
+                0, c, body_key, (vals_scr[:], ids_scr[:]))
+            vals_scr[:] = vals1
+            ids_scr[:] = ids1
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _emit_key():
+                sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
+                vals_out[:] = sv
+                ids_out[:] = si
+
+            return
+
+        if merge == "extract16":
+            # Halve every VPU merge pass: score scratch and all
+            # compare/extract passes in bf16; f32 only in the k-slot buffer
+            # (VERDICT round-2 next #1's suggested lever). Returned vals are
+            # bf16-rounded; ids may differ from the f32 oracle only where
+            # scores agree to bf16 precision.
+            s_scr[:] = s.astype(jnp.bfloat16)
+            gc16 = jnp.where(valid, gcol, -1)
+            theta0 = jnp.min(jnp.where(live, vals_scr[:], POS_INF), axis=1,
+                             keepdims=True)
+            theta_b = theta0.astype(jnp.bfloat16)
+            cnt = jnp.sum((s_scr[:] > theta_b).astype(jnp.int32), axis=1)
+            c = jnp.minimum(jnp.max(cnt), k)
+
+            def body16(_, carry):
+                vals_c, ids_c = carry
+                s_c = s_scr[:]
+                m = jnp.max(s_c, axis=1, keepdims=True)          # bf16 [B,1]
+                idv = jnp.max(jnp.where(s_c == m, gc16, -1), axis=1,
+                              keepdims=True)
+                s_scr[:] = jnp.where(gc16 == idv,
+                                     jnp.bfloat16(NEG_INF), s_c)
+                m32 = m.astype(jnp.float32)
+                vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+                               keepdims=True)
+                ins = m32 > vmin
+                slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
+                               axis=1, keepdims=True)
+                do = ins & (lane == slot)
+                vals_c = jnp.where(do, m32, vals_c)
+                ids_c = jnp.where(do, idv, ids_c)
+                return vals_c, ids_c
+
+            vals1, ids1 = jax.lax.fori_loop(
+                0, c, body16, (vals_scr[:], ids_scr[:]))
+            vals_scr[:] = vals1
+            ids_scr[:] = ids1
+
+            @pl.when(i == pl.num_programs(0) - 1)
+            def _emit16():
+                sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
+                vals_out[:] = sv
+                ids_out[:] = si
+
+            return
+
         # "extract"/"pipeline" merge: unsorted [B, K_LANES] slot buffer,
         # min-slot replacement (TopKBuffer semantics, topK.h:23-49). One pass
         # counts per-row improvers vs the current k-th value; a dynamic
@@ -199,8 +323,6 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
         # fori_loop carry: a multi-MB loop-carried vector (e.g. [512, 2048]
         # f32 = 512 vregs) blows up Mosaic register allocation — compiles
         # that took >1 h with the carry finish in ~1 min with the ref.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (B, K_LANES), 1)
-        live = lane < k
 
         def merge_scr(tile_idx, ref=None):
             """Fold ``ref`` (scores of tile ``tile_idx``, already tail-masked
@@ -569,8 +691,8 @@ def pallas_flat_topk(
             raise ValueError(
                 f"NVDB_MERGE={merge!r} is a diagnostic mode with wrong "
                 "results by design; pass merge= explicitly to use it")
-    if merge not in ("extract", "chain", "pipeline", "pipeline2", "rounds",
-                     "stride", "chunk") + _DIAG_MERGES:
+    if merge not in ("extract", "extract16", "key", "chain", "pipeline",
+                     "pipeline2", "rounds", "stride", "chunk") + _DIAG_MERGES:
         raise ValueError(f"unknown merge mode {merge!r}")
     B, Dp = queries.shape
     Np = vectors.shape[0]
@@ -615,7 +737,11 @@ def pallas_flat_topk(
             if merge == "rounds" else
             [pltpu.VMEM((B, K_LANES), jnp.float32),
              pltpu.VMEM((B, K_LANES), jnp.int32),
-             pltpu.VMEM((B, T), jnp.float32)]
+             # score scratch: bf16 for extract16 (half-width passes),
+             # packed int32 keys for "key"
+             pltpu.VMEM((B, T),
+                        jnp.bfloat16 if merge == "extract16" else
+                        jnp.int32 if merge == "key" else jnp.float32)]
             + ([pltpu.VMEM((B, _stride_classes(T)), jnp.float32)]
                if merge in ("stride", "chunk") else [])
             + ([pltpu.VMEM((B, T), jnp.float32)]

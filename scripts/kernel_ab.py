@@ -41,7 +41,7 @@ def main():
     from nvdb_tpu.kernels import flat_scan, ops
     from nvdb_tpu.utils import round_up
 
-    Np = round_up(args.n, 4096)
+    Np = round_up(args.n, max(4096, args.tile))
     Dp = round_up(args.d, 128)
     key = jax.random.PRNGKey(0)
     base_f32 = jax.random.normal(key, (Np, Dp), dtype=jnp.float32)
@@ -117,9 +117,12 @@ def main():
                     match = np.mean(np.asarray(ji) == i0)
                     log(f"  id match vs oracle: {match:.4f}")
                     # qi8 adds query-quantization error vs the f32-query
-                    # oracle; iid-gaussian scores are the worst case (top-10
-                    # dot gaps ~1e-2 sigma). Report, gate loosely.
-                    assert match > (0.7 if args.qi8 else 0.99), match
+                    # oracle; extract16/key rank at bf16 precision.
+                    # iid-gaussian scores are the worst case (top-10 dot
+                    # gaps ~1e-2 sigma vs bf16 abs rounding ~0.1 at D=768).
+                    # Report, gate loosely.
+                    loose = args.qi8 or merge in ("extract16", "key")
+                    assert match > (0.7 if loose else 0.99), match
                 _ = np.asarray(runj(q1)[1])
                 t0 = time.perf_counter()
                 r = None

@@ -279,3 +279,79 @@ def test_sharded_ivfpq_replicated_dedup():
                      zip(np.asarray(i_single).tolist(),
                          np.asarray(i_shard).tolist())])
     assert agree >= 0.9  # full probing; shard union ~= global probing
+
+
+def test_sharded_refine_matches_oracle(mesh8, data):
+    """Each shard reranks only the candidate rows it owns from its LOCAL
+    store shard (the 100M-scale refine, VERDICT r2 weak #8); the all_gather
+    merge must equal the single-device exact_rerank oracle."""
+    from nvdb_tpu.dist.sharded_ivf import sharded_refine
+    from nvdb_tpu.kernels import ops
+
+    base, queries = data
+    rng = np.random.default_rng(21)
+    store = VectorStore.from_numpy(
+        base, "f32", row_block=128, sharding=meshmod.row_sharding(mesh8),
+        n_shards=8)
+    B, R, k = 16, 40, 10
+    cand = np.stack([rng.choice(4000, R, replace=False) for _ in range(B)]
+                    ).astype(np.int32)
+    cand[0, 25:] = -1
+    qp = store.pad_queries(queries)
+    sv, si = sharded_refine(mesh8, jnp.asarray(qp), jnp.asarray(cand),
+                            store.vectors, store.scales, k)
+    rows = np.where(cand[..., None] >= 0,
+                    np.pad(base, ((0, 0), (0, store.d_padded - base.shape[1])))
+                    [np.maximum(cand, 0)], 0.0)
+    jv, ji = ops.exact_rerank(jnp.asarray(qp), jnp.asarray(rows),
+                              jnp.asarray(cand), k)
+    assert np.mean(np.asarray(si) == np.asarray(ji)) == 1.0
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(jv),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_refine_i8(mesh8, data):
+    from nvdb_tpu.dist.sharded_ivf import sharded_refine
+    from nvdb_tpu.kernels import ops
+
+    base, queries = data
+    q8, scales = vecbin.quantize_i8(base)
+    rng = np.random.default_rng(23)
+    store = VectorStore.from_numpy(
+        q8, "i8", scales=scales, row_block=128,
+        sharding=meshmod.row_sharding(mesh8), n_shards=8)
+    B, R, k = 16, 32, 5
+    cand = np.stack([rng.choice(4000, R, replace=False) for _ in range(B)]
+                    ).astype(np.int32)
+    qp = store.pad_queries(queries)
+    sv, si = sharded_refine(mesh8, jnp.asarray(qp), jnp.asarray(cand),
+                            store.vectors, store.scales, k)
+    eff = q8.astype(np.float32) * scales[:, None]
+    rows = np.pad(eff, ((0, 0), (0, store.d_padded - eff.shape[1])))[cand]
+    jv, ji = ops.exact_rerank(jnp.asarray(qp), jnp.asarray(rows),
+                              jnp.asarray(cand), k)
+    assert np.mean(np.asarray(si) == np.asarray(ji)) == 1.0
+
+
+def test_sharded_ivfpq_with_sharded_refine_store(mesh8, data):
+    """End-to-end: sharded IVF-PQ whose refine store is itself row-sharded
+    — no stage materializes a full-corpus array on one device."""
+    from nvdb_tpu.index.ivf_pq import IVFPQIndex
+    from nvdb_tpu.dist.sharded_ivf import ShardedIVFPQIndex
+
+    base, queries = data
+    ref_ids, s64 = _oracle_ids(base, queries, 10)
+    pqi = IVFPQIndex.build(base, nlist=40, m=16, use_opq=False,
+                           train_size=4000, seed=4)
+    sh = ShardedIVFPQIndex.from_index(pqi, mesh8)
+    store = VectorStore.from_numpy(
+        base, "f32", row_block=128, sharding=meshmod.row_sharding(mesh8),
+        n_shards=8)
+    # every vectors shard lives on one device only
+    assert len(store.vectors.sharding.device_set) == 8
+
+    _, ids_full = sh.search(queries, 10, nprobe=sh.nlist, refine_k=200,
+                            refine_store=store)
+    got64 = np.take_along_axis(s64, ids_full.astype(np.int64), axis=1)
+    ref64 = np.take_along_axis(s64, np.asarray(ref_ids), axis=1)
+    np.testing.assert_allclose(got64, ref64, atol=1e-4, rtol=0)
