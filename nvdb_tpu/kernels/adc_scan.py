@@ -40,14 +40,30 @@ from nvdb_tpu.kernels.flat_scan import (_merge_topk_sorted, NEG_INF, POS_INF,
                                         K_LANES)
 
 
-def _score_list(codes_u8, lut3_bf16, m, lcap):
+def _score_list(codes_u8, lut3_bf16, m, lcap, slim: bool = True):
     """ADC scores of one packed list: [M, L] codes x [M, 16, 16] LUT ->
-    [1, L] negated L2 (max-is-best), via the nibble one-hot matmul."""
+    [1, L] negated L2 (max-is-best), via the nibble one-hot matmul.
+
+    ``slim`` (ADC generation 3, VERDICT r2 next #5): the per-list cost is
+    dominated by materializing the [M, 16, L] one-hot / t intermediates
+    through VMEM, not by the compares or the 16x16 matmuls — so keep ALL
+    of them bf16 (halves every slab: oh_hi, t, prod) and accumulate the
+    final reduction in f32. bf16 products are exact (one-hot x bf16 LUT
+    entry); only the f32 accumulation order changes vs the jnp oracle.
+    slim=False keeps the round-2 mixed-precision path for A/B."""
     codes = codes_u8.astype(jnp.int32)                       # [M, L]
     lo = (codes & 15)[:, None, :]                            # [M, 1, L]
     hi = (codes >> 4)[:, None, :]
     nib = jax.lax.broadcasted_iota(jnp.int32, (m, 16, lcap), 1)
     oh_lo = (lo == nib).astype(jnp.bfloat16)                 # [M, 16, L]
+    if slim:
+        oh_hi = (hi == nib).astype(jnp.bfloat16)
+        t = jax.lax.dot_general(
+            lut3_bf16, oh_lo, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.bfloat16)             # [M, 16, L]
+        prod = (oh_hi * t).reshape(m * 16, lcap)
+        return -jnp.sum(prod, axis=0, keepdims=True,
+                        dtype=jnp.float32)                   # [1, L]
     oh_hi = (hi == nib).astype(jnp.float32)
     # batched over M: t[m, a, l] = sum_b lut3[m, a, b] * oh_lo[m, b, l]
     t = jax.lax.dot_general(
@@ -60,7 +76,7 @@ def _score_list(codes_u8, lut3_bf16, m, lcap):
     return -jnp.sum(prod, axis=0, keepdims=True)             # [1, L]
 
 
-def _make_kernel(k: int, m: int, lcap: int, g: int):
+def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = True):
     """g probed lists per grid step: their codes/slot-ids are DMA'd into
     VMEM scratch by scalar-prefetch-driven async copies (aligned: dim 0 of a
     3D HBM ref is untiled), scored one by one, and folded with ONE
@@ -93,7 +109,7 @@ def _make_kernel(k: int, m: int, lcap: int, g: int):
         parts_i = []
         for gi in range(g):
             lut3 = lut_ref[0, 0, gi].astype(jnp.bfloat16)    # [M, 16, 16]
-            sg = _score_list(codes_vmem[gi], lut3, m, lcap)  # [1, L]
+            sg = _score_list(codes_vmem[gi], lut3, m, lcap, slim)  # [1, L]
             sid_g = sids_vmem[gi]                            # [1, L]
             parts_s.append(jnp.where(sid_g >= 0, sg, NEG_INF))
             parts_i.append(sid_g)
@@ -159,7 +175,7 @@ def _make_kernel(k: int, m: int, lcap: int, g: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "g", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "g", "slim", "interpret"))
 def pallas_adc_topk(
     lut: jax.Array,        # [B, P, M, 16, 16] f32 ADC tables (hi, lo split)
     probes: jax.Array,     # [B, P] int32 probed list ids
@@ -167,6 +183,7 @@ def pallas_adc_topk(
     slot_ids: jax.Array,   # [nlist, Lcap] int32 (-1 padding)
     k: int,
     g: int = 4,            # probed lists folded per grid step
+    slim: bool = True,     # bf16 intermediates (ADC gen 3); False = r2 A/B
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k ADC candidates over each query's probed lists. Scores are
@@ -190,7 +207,7 @@ def pallas_adc_topk(
             [lut, jnp.repeat(lut[:, -1:], pad, axis=1)], axis=1)
         P += pad
 
-    kernel = _make_kernel(k, m, lcap, g)
+    kernel = _make_kernel(k, m, lcap, g, slim)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

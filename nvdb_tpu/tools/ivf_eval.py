@@ -80,8 +80,14 @@ def main(argv=None):
                         "blocks with one trailing fetch (the per-batch fetch "
                         "otherwise pays a full relay round-trip per step, "
                         "which a locally-attached TPU does not). Implies "
-                        "--device-queries; reports chained qps, no "
-                        "percentiles")
+                        "--device-queries")
+    p.add_argument("--wave", type=int, default=0,
+                   help="with --chained: ALSO fetch every WAVE-th batch so "
+                        "per-wave completion timestamps yield p50/p95/p99 "
+                        "from the same steady-state run (VERDICT r2 next "
+                        "#3). Each wave fetch pays one relay round-trip "
+                        "(~25-30 ms here), reported as rtt-inclusive wave "
+                        "percentiles; 0 disables (avg only)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -178,7 +184,17 @@ def main(argv=None):
             for w in range(min(args.warmup, n_batches)):
                 np.asarray(fused(blocks[w])[1])
             t0 = _time.perf_counter()
-            outs = [fused(x) for x in blocks]
+            outs = []
+            wave_ts = [t0]
+            for s, x in enumerate(blocks):
+                outs.append(fused(x))
+                if args.wave > 0 and (s + 1) % args.wave == 0:
+                    # sync-fetch this wave's last ids: its completion
+                    # timestamp closes the wave (pays one relay RTT, so the
+                    # wave percentiles are rtt-INCLUSIVE — stated in the
+                    # RESULT line)
+                    np.asarray(outs[-1][1])
+                    wave_ts.append(_time.perf_counter())
             ids_last = np.asarray(outs[-1][1])  # one trailing fetch
             dt = _time.perf_counter() - t0
             final_ids = np.concatenate(
@@ -186,12 +202,26 @@ def main(argv=None):
             recall = (recall_at_k(final_ids, gt_ids, k=args.k)
                       if gt_ids is not None else -1.0)
             ms_q = dt * 1000.0 / (n_batches * b)
+            extra = {}
+            if args.wave > 0 and len(wave_ts) > 2:
+                # steady-state tail: wave latencies from the SAME run
+                # (skip wave 0: it absorbs the dispatch ramp)
+                wl = np.diff(np.asarray(wave_ts)) * 1000.0
+                wl = wl[1:]
+                wstats = compute_stats(list(wl), n_queries=len(wl),
+                                       batch_q=1)
+                per_q = args.wave * b
+                extra = dict(
+                    wave=args.wave,
+                    wave_p50_ms=wstats.p50_ms, wave_p95_ms=wstats.p95_ms,
+                    wave_p99_ms=wstats.p99_ms,
+                    p99_ms_per_q=wstats.p99_ms / per_q)
             print(result_line(
                 kind=kind, refine_k=refine_k, nprobe=nprobe, Q=Q, k=args.k,
                 batch_q=b, backend=args.ivf_backend, chained=1,
                 refine_enabled=int(do_refine), refine_backend="tpu-fused",
                 total_avg_ms=ms_q, qps=1000.0 / ms_q if ms_q > 0 else 0.0,
-                recall=recall, index_mb=idx.index_bytes / 1e6))
+                recall=recall, index_mb=idx.index_bytes / 1e6, **extra))
             continue
 
         def ann_step(block, nprobe=nprobe, kk=kk):
