@@ -38,16 +38,25 @@ class FlatIndex:
     ``quantize_queries`` (int8 stores only): quantize queries to int8 per-row
     max-abs/127 and use the native int8 MXU matmul — 2x compute rate and the
     reference's "query stays f32" guarantee traded for ~0.4% quantization
-    noise on the query side (opt-in; off = reference-parity accuracy)."""
+    noise on the query side (opt-in; off = reference-parity accuracy).
+
+    ``refine_k`` (with quantize_queries): the EXACT i8 mode (VERDICT r2 next
+    #7) — the i8 x i8 scan returns its top-refine_k, then a fused dot-metric
+    rerank re-scores those candidates with the ORIGINAL f32 queries against
+    the same store, restoring the f32-query ranking (the reference keeps
+    queries f32 precisely to avoid this tradeoff, Performance.md:242-255;
+    here exactness costs ~refine_k rows of rerank instead of half the scan
+    rate). One fused program: scan -> rerank, no intermediate fetch."""
 
     def __init__(self, store: VectorStore, backend: str = "auto",
-                 quantize_queries: bool = False):
+                 quantize_queries: bool = False, refine_k: int = 0):
         from nvdb_tpu.formats import vecbin as _vb
 
         self.store = store
         self.backend = backend
         self.quantize_queries = (quantize_queries
                                  and store.dtype_code == _vb.DTYPE_I8)
+        self.refine_k = refine_k if self.quantize_queries else 0
         self._jit_cache: dict = {}
 
     # -- device-level call (jit-compiled per (B, k) bucket) -------------------
@@ -65,14 +74,25 @@ class FlatIndex:
             # literal, which forces a device->host transfer of the whole base at
             # trace time (catastrophic for GB-scale stores).
             if self.quantize_queries:
+                refine_k = max(self.refine_k, k) if self.refine_k else 0
+
                 def run(queries, vectors, scales):
                     amax = jnp.max(jnp.abs(queries), axis=1)
                     qs = jnp.where(amax > 0, amax / 127.0, 1.0)
                     q8 = jnp.clip(jnp.round(queries / qs[:, None]),
                                   -127, 127).astype(jnp.int8)
-                    return dispatch.flat_topk(
-                        q8, vectors, scales, n_valid, k, backend=backend,
+                    kk = refine_k if refine_k else k
+                    v, i = dispatch.flat_topk(
+                        q8, vectors, scales, n_valid, kk, backend=backend,
                         query_scales=qs)
+                    if refine_k:
+                        # exact i8 mode: re-score the i8 x i8 candidates
+                        # with the f32 queries (dot metric), fused
+                        from nvdb_tpu.kernels.rerank import pallas_rerank
+
+                        v, i = pallas_rerank(queries, i, vectors, scales,
+                                             k, metric="dot")
+                    return v, i
             elif has_scales:
                 def run(queries, vectors, scales):
                     return dispatch.flat_topk(

@@ -263,51 +263,14 @@ def _make_kernel(k: int, tile_rows: int, has_scales: bool, has_qscales: bool,
 
             return
 
-        if merge == "extract16":
-            # Halve every VPU merge pass: score scratch and all
-            # compare/extract passes in bf16; f32 only in the k-slot buffer
-            # (VERDICT round-2 next #1's suggested lever). Returned vals are
-            # bf16-rounded; ids may differ from the f32 oracle only where
-            # scores agree to bf16 precision.
-            s_scr[:] = s.astype(jnp.bfloat16)
-            gc16 = jnp.where(valid, gcol, -1)
-            theta0 = jnp.min(jnp.where(live, vals_scr[:], POS_INF), axis=1,
-                             keepdims=True)
-            theta_b = theta0.astype(jnp.bfloat16)
-            cnt = jnp.sum((s_scr[:] > theta_b).astype(jnp.int32), axis=1)
-            c = jnp.minimum(jnp.max(cnt), k)
-
-            def body16(_, carry):
-                vals_c, ids_c = carry
-                s_c = s_scr[:]
-                m = jnp.max(s_c, axis=1, keepdims=True)          # bf16 [B,1]
-                idv = jnp.max(jnp.where(s_c == m, gc16, -1), axis=1,
-                              keepdims=True)
-                s_scr[:] = jnp.where(gc16 == idv,
-                                     jnp.bfloat16(NEG_INF), s_c)
-                m32 = m.astype(jnp.float32)
-                vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
-                               keepdims=True)
-                ins = m32 > vmin
-                slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
-                               axis=1, keepdims=True)
-                do = ins & (lane == slot)
-                vals_c = jnp.where(do, m32, vals_c)
-                ids_c = jnp.where(do, idv, ids_c)
-                return vals_c, ids_c
-
-            vals1, ids1 = jax.lax.fori_loop(
-                0, c, body16, (vals_scr[:], ids_scr[:]))
-            vals_scr[:] = vals1
-            ids_scr[:] = ids1
-
-            @pl.when(i == pl.num_programs(0) - 1)
-            def _emit16():
-                sv, si = _merge_topk_sorted(vals_scr[:], ids_scr[:], k)
-                vals_out[:] = sv
-                ids_out[:] = si
-
-            return
+        # NOTE an "extract16" variant (bf16 score scratch + bf16 merge
+        # passes, VERDICT r2 next #1's literal suggestion) was built and
+        # FAILED Mosaic lowering: the bf16 compare mask cannot relayout
+        # against the int32 id-select ("Invalid relayout ... 128x4096xi1").
+        # "key" is the working realization of the same bytes-level idea —
+        # the id lives inside the packed int32 key, so no mixed-layout
+        # select exists. Interpret-mode tests cannot catch this class of
+        # failure; scripts/tpu_smoke.py is the gate.
 
         # "extract"/"pipeline" merge: unsorted [B, K_LANES] slot buffer,
         # min-slot replacement (TopKBuffer semantics, topK.h:23-49). One pass
@@ -691,7 +654,7 @@ def pallas_flat_topk(
             raise ValueError(
                 f"NVDB_MERGE={merge!r} is a diagnostic mode with wrong "
                 "results by design; pass merge= explicitly to use it")
-    if merge not in ("extract", "extract16", "key", "chain", "pipeline",
+    if merge not in ("extract", "key", "chain", "pipeline",
                      "pipeline2", "rounds", "stride", "chunk") + _DIAG_MERGES:
         raise ValueError(f"unknown merge mode {merge!r}")
     B, Dp = queries.shape
@@ -737,10 +700,8 @@ def pallas_flat_topk(
             if merge == "rounds" else
             [pltpu.VMEM((B, K_LANES), jnp.float32),
              pltpu.VMEM((B, K_LANES), jnp.int32),
-             # score scratch: bf16 for extract16 (half-width passes),
-             # packed int32 keys for "key"
+             # score scratch: packed int32 keys for "key", f32 otherwise
              pltpu.VMEM((B, T),
-                        jnp.bfloat16 if merge == "extract16" else
                         jnp.int32 if merge == "key" else jnp.float32)]
             + ([pltpu.VMEM((B, _stride_classes(T)), jnp.float32)]
                if merge in ("stride", "chunk") else [])

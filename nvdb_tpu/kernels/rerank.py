@@ -183,7 +183,7 @@ def _make_kernel(k: int, bq: int, chunk: int, blk: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "chunk", "bq", "interpret"))
+                   static_argnames=("k", "chunk", "bq", "metric", "interpret"))
 def pallas_rerank(
     queries: jax.Array,     # [B, Dp] f32
     cand_ids: jax.Array,    # [B, R] int32 (-1 padded; unique per row)
@@ -193,12 +193,15 @@ def pallas_rerank(
     chunk: int = 16,        # candidate chunk per (query, grid step)
     bq: int = 8,            # queries per grid step (sublane blocking)
     norms2: Optional[jax.Array] = None,  # [Np] f32 (store_norms2); else computed
+    metric: str = "l2",     # "l2" (2*dot - ||row||^2) | "dot"
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact L2 top-k over each query's candidate rows. Scores use the
-    2*dot - ||row||^2 convention (monotone in -L2). Oracle: ops.exact_rerank
-    (which returns 2*dot - ||row||^2 as well). Pass ``norms2`` in serving
-    loops — computing it here costs a full pass over the store per call."""
+    """Exact top-k over each query's candidate rows. metric="l2" scores by
+    2*dot - ||row||^2 (monotone in -L2); metric="dot" by the plain scaled
+    dot product (the flat-scan metric — used to restore f32-query exactness
+    over int8-query scan candidates). Oracle: ops.exact_rerank. Pass
+    ``norms2`` in serving loops — computing it here costs a full pass over
+    the store per call (unused for metric="dot")."""
     B, Dp = queries.shape
     R = cand_ids.shape[1]
     if interpret is None:
@@ -227,23 +230,31 @@ def pallas_rerank(
         vectors = jnp.pad(vectors, ((0, np_pad - vectors.shape[0]), (0, 0)))
     v_blocks = vectors.reshape(np_pad // blk, blk, Dp)
 
-    if norms2 is None:
+    if metric not in ("l2", "dot"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if norms2 is None and metric == "l2":
         norms2 = store_norms2(vectors)
 
     # per-candidate score coefficients, folded XLA-side so the kernel is
-    # dtype-oblivious: score = amul * dot(q, raw_row) - boff
+    # dtype- and metric-oblivious: score = amul * dot(q, raw_row) - boff
     safe = jnp.maximum(cand_ids, 0)
-    n2c = jnp.take(norms2, safe)                              # [Bp, Rp]
+    sc = None
     if scales is not None:
         scp = jnp.pad(scales, (0, np_pad - scales.shape[0]),
                       constant_values=1.0) if scales.shape[0] != np_pad \
             else scales
         sc = jnp.take(scp, safe).astype(jnp.float32)
-        amul = 2.0 * sc
-        boff = sc * sc * n2c
+    if metric == "dot":
+        amul = sc if sc is not None else jnp.ones(cand_ids.shape, jnp.float32)
+        boff = jnp.zeros(cand_ids.shape, jnp.float32)
     else:
-        amul = jnp.full(cand_ids.shape, 2.0, jnp.float32)
-        boff = n2c
+        n2c = jnp.take(norms2, safe)                          # [Bp, Rp]
+        if sc is not None:
+            amul = 2.0 * sc
+            boff = sc * sc * n2c
+        else:
+            amul = jnp.full(cand_ids.shape, 2.0, jnp.float32)
+            boff = n2c
 
     # lane expansion (blk lanes per candidate) + query-major step grouping:
     # step (g, j) sees lanes [qq-segment | candidate c | block pos p]

@@ -37,6 +37,11 @@ def main(argv=None):
                    help="int8 stores: quantize queries and use the native "
                         "int8 MXU matmul (fastest path; adds ~0.4% query "
                         "quantization noise)")
+    p.add_argument("--refine-k", type=int, default=0,
+                   help="with --quantize-queries: EXACT i8 mode — fused "
+                        "f32-query dot rerank of the scan's top-REFINE_K "
+                        "(restores the f32-query ranking for ~3% of the "
+                        "scan cost)")
     p.add_argument("--device-queries", action="store_true",
                    help="pre-upload the query pool and slice batches on-device "
                         "(excludes host->device transfer from timed loops; the "
@@ -63,7 +68,8 @@ def main(argv=None):
     else:
         store = VectorStore.from_vecbin(args.base)
         index = FlatIndex(store, backend=args.backend,
-                          quantize_queries=args.quantize_queries)
+                          quantize_queries=args.quantize_queries,
+                          refine_k=args.refine_k)
 
     print(f"N={store.n} dim={store.d} dtype={vecbin.dtype_name(store.dtype_code)} "
           f"Q={qf.count} k={args.k} backend={args.backend} "
@@ -93,16 +99,25 @@ def main(argv=None):
 
         qq = args.quantize_queries and store.scales is not None
 
+        refine_k = max(args.refine_k, k_) if (qq and args.refine_k) else 0
+
         @jax.jit
         def step(pool, vectors, scales, start):
             block = jax.lax.dynamic_slice(pool, (start, 0), (bp, pool.shape[1]))
             if qq:
                 amax = jnp.max(jnp.abs(block), axis=1)
                 qs = jnp.where(amax > 0, amax / 127.0, 1.0)
-                block = jnp.clip(jnp.round(block / qs[:, None]),
-                                 -127, 127).astype(jnp.int8)
-                return dispatch.flat_topk(block, vectors, scales, n_valid, k_,
+                q8 = jnp.clip(jnp.round(block / qs[:, None]),
+                              -127, 127).astype(jnp.int8)
+                kk = refine_k if refine_k else k_
+                v, i = dispatch.flat_topk(q8, vectors, scales, n_valid, kk,
                                           backend=backend, query_scales=qs)
+                if refine_k:
+                    from nvdb_tpu.kernels.rerank import pallas_rerank
+
+                    v, i = pallas_rerank(block, i, vectors, scales, k_,
+                                         metric="dot")
+                return v, i
             return dispatch.flat_topk(block, vectors, scales, n_valid, k_,
                                       backend=backend)
 
@@ -130,6 +145,7 @@ def main(argv=None):
         print(f"recall@{args.k}={recall:.4f}")
 
     kv = dict(mode="flat", backend=args.backend, shards=args.shards,
+              refine_k=args.refine_k,
               N=store.n, dim=store.d, dtype=vecbin.dtype_name(store.dtype_code),
               Q=qf.count, k=args.k, batch_q=args.batch_q,
               avg_ms=stats.avg_ms, qps=stats.qps,

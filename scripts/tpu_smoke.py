@@ -1,0 +1,155 @@
+"""Real-TPU smoke gate: tiny fixed configs through every Pallas kernel,
+asserting oracle agreement — run BEFORE committing kernel changes.
+
+All 154 CPU tests run Pallas in interpret mode, which does NOT check
+Mosaic block/layout rules (CLAUDE.md); a kernel edit can pass the suite
+and still fail to lower on TPU (round-3 example: the extract16 merge
+passed interpret fuzz and died in Mosaic relayout). This script is the
+automated lowering + correctness gate (VERDICT r2 next #6): shapes are
+FIXED so after the first run everything hits the persistent compile
+cache (<2 min); exit code 0 = all kernels lower and agree with their
+jnp oracles.
+
+Usage: PYTHONPATH=/root/repo python scripts/tpu_smoke.py
+"""
+
+import sys
+import time
+
+import numpy as np
+
+T0 = time.time()
+
+
+def ok(name, cond, detail=""):
+    stamp = f"[{time.time()-T0:6.1f}s]"
+    if cond:
+        print(f"{stamp} PASS {name} {detail}", flush=True)
+    else:
+        print(f"{stamp} FAIL {name} {detail}", flush=True)
+        sys.exit(1)
+
+
+def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="interpret-mode dry run (lowering check VOID)")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/nvdb_jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from nvdb_tpu.kernels import ops
+    from nvdb_tpu.kernels.flat_scan import pallas_flat_topk
+    from nvdb_tpu.kernels.rerank import pallas_rerank, store_norms2
+
+    on_tpu = jax.default_backend() == "tpu"
+    print(f"backend={jax.default_backend()} devices={jax.devices()}",
+          flush=True)
+    if not on_tpu:
+        print("WARNING: not on TPU — kernels run in interpret mode, the "
+              "lowering check this script exists for is VOID", flush=True)
+
+    rng = np.random.default_rng(0)
+    N, D, B, k = 16384, 256, 8, 10
+    base = rng.standard_normal((N, D)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    q = jnp.asarray(base[:B] + 0.01 * rng.standard_normal((B, D)).astype(
+        np.float32))
+
+    # ---- flat scan: dtype ladder x merge modes ---------------------------
+    bf = jnp.asarray(base).astype(jnp.bfloat16)
+    amax = np.abs(base).max(axis=1)
+    sc = (amax / 127).astype(np.float32)
+    i8 = jnp.asarray(np.clip(np.round(base / sc[:, None]), -127, 127
+                             ).astype(np.int8))
+    scj = jnp.asarray(sc)
+
+    jv, ji = ops.scan_topk(q, jnp.asarray(base), None, N, k)
+    ji = np.asarray(ji)
+
+    for name, (vecs, s, merge, gate) in {
+        "flat_f32_extract": (jnp.asarray(base), None, "extract", 1.0),
+        "flat_bf16_extract": (bf, None, "extract", 0.9),
+        "flat_bf16_key": (bf, None, "key", 0.9),
+        "flat_i8_extract": (i8, scj, "extract", 0.85),
+    }.items():
+        pv, pi = pallas_flat_topk(q, vecs, s, N, k, tile_rows=2048,
+                                  merge=merge)
+        m = np.mean(np.asarray(pi) == ji)
+        ok(name, m >= gate, f"id_match={m:.3f}")
+
+    # qi8 (int8 queries, int8 store)
+    qa = jnp.max(jnp.abs(q), axis=1)
+    qs = jnp.where(qa > 0, qa / 127.0, 1.0)
+    qi = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+    pv, pi = pallas_flat_topk(qi, i8, scj, N, k, tile_rows=2048,
+                              query_scales=qs)
+    m = np.mean(np.asarray(pi) == ji)
+    ok("flat_qi8_extract", m >= 0.7, f"id_match={m:.3f}")
+
+    # ---- rerank kernel ---------------------------------------------------
+    R = 64
+    cand = np.stack([rng.choice(N, R, replace=False) for _ in range(B)]
+                    ).astype(np.int32)
+    n2 = jax.jit(store_norms2)(bf)
+    pv, pi = pallas_rerank(q, jnp.asarray(cand), bf, None, k, norms2=n2)
+    eff = np.asarray(bf, dtype=np.float32)
+    rows = jnp.asarray(eff[cand])
+    jv2, ji2 = ops.exact_rerank(q, rows, jnp.asarray(cand), k)
+    m = np.mean(np.asarray(pi) == np.asarray(ji2))
+    ok("rerank_bf16", m == 1.0, f"id_match={m:.3f}")
+
+    # ---- IVF probe kernel ------------------------------------------------
+    from nvdb_tpu.index.ivf_flat import IVFFlatIndex
+
+    ivf = IVFFlatIndex.build(base, nlist=16, dtype="bf16", train_size=N,
+                             n_iters=3, seed=1)
+    qp = np.zeros((B, ivf.centroids.shape[1]), np.float32)
+    qp[:, :D] = np.asarray(q)
+    vj, ij = ivf.search_device(jnp.asarray(qp), k, nprobe=16, backend="jnp")
+    vp, ip = ivf.search_device(jnp.asarray(qp), k, nprobe=16,
+                               backend="pallas")
+    m = np.mean(np.asarray(ip) == np.asarray(ij))
+    ok("ivf_probe_bf16", m >= 0.95, f"id_match={m:.3f}")
+
+    # ---- ADC kernel (+ fused refine path) --------------------------------
+    from nvdb_tpu.index.ivf_pq import IVFPQIndex
+    from nvdb_tpu.store import VectorStore
+
+    pqi = IVFPQIndex.build(base, nlist=16, m=16, use_opq=False,
+                           train_size=N, n_iters=3, seed=2)
+    vj, ij = pqi.search_device(jnp.asarray(qp), k, nprobe=16, backend="jnp")
+    vp, ip = pqi.search_device(jnp.asarray(qp), k, nprobe=16,
+                               backend="pallas")
+    # ADC rankings agree modulo bf16 LUT rounding near ties
+    m = np.mean(np.asarray(ip) == np.asarray(ij))
+    ok("adc_scan", m >= 0.8, f"id_match={m:.3f}")
+
+    # refine must convert candidate coverage into recall (recall ==
+    # cand_recall is the invariant ivf_eval checks; absolute recall here is
+    # corpus-limited — iid gaussian is ADC's worst case)
+    store = VectorStore.from_numpy(base, "bf16", row_block=4096)
+    vr, ir = pqi.search_device(jnp.asarray(qp), k, nprobe=16, refine_k=64,
+                               refine_store=store, backend="pallas")
+    _, icand = pqi.search_device(jnp.asarray(qp), 64, nprobe=16,
+                                 backend="pallas")
+    s64 = np.asarray(q, np.float64) @ base.T.astype(np.float64)
+    ref_ids = np.argsort(-s64, axis=1)[:, :k]
+    def _ov(ids):
+        return float(np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                              for a, b in zip(np.asarray(ids), ref_ids)]))
+    rec, crec = _ov(ir), _ov(icand)
+    ok("adc_refine_fused", rec >= crec - 1e-6,
+       f"recall={rec:.3f} cand_recall={crec:.3f}")
+
+    print(f"[{time.time()-T0:6.1f}s] ALL PASS", flush=True)
+
+
+if __name__ == "__main__":
+    main()

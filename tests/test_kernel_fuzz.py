@@ -19,7 +19,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("merge", ["extract", "extract16", "key", "chain",
+@pytest.mark.parametrize("merge", ["extract", "key", "chain",
                                    "pipeline", "pipeline2", "rounds",
                                    "stride", "chunk"])
 @pytest.mark.parametrize("n_pad,n,d,b,k,tile,dtype", CASES)
@@ -54,9 +54,9 @@ def test_fuzz_case(n_pad, n, d, b, k, tile, dtype, merge):
     ref = -np.sort(-s64, axis=1)[:, :kk]
     got = np.take_along_axis(s64, ids[:, :kk].astype(np.int64), axis=1)
     tol = {"f32": 1e-5, "bf16": 5e-2, "i8": 5e-2}[dtype]
-    if merge in ("extract16", "key"):
-        # these rank at bf16 precision by design (vals rounded/truncated,
-        # ids may differ only within bf16 rounding of the scores)
+    if merge == "key":
+        # ranks at bf16 precision by design (vals truncated; ids may
+        # differ only within bf16 rounding of the scores)
         tol = max(tol, 5e-2)
     np.testing.assert_allclose(got, ref, atol=tol, rtol=0)
     # sorted descending, unique
@@ -66,7 +66,7 @@ def test_fuzz_case(n_pad, n, d, b, k, tile, dtype, merge):
 
 
 @pytest.mark.parametrize("merge", ["stride", "chunk", "extract", "chain",
-                                   "extract16", "key"])
+                                   "key"])
 def test_duplicate_row_cross_class_tie(merge):
     """Exact cross-class score ties from duplicated rows (common in real
     corpora) must yield BOTH ids. Regression for the narrow_rounds tie bug
