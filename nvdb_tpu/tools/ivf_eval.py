@@ -133,7 +133,16 @@ def main(argv=None):
     refine_ks = [0] if args.ann_only else list(args.refine_k)
     refine_store = None
     if max(refine_ks) > 0 and is_pq:
-        refine_store = VectorStore.from_vecbin(args.base)
+        if args.shards > 1:
+            # shard the refine store with the lists: the refine stage then
+            # runs sharded (each shard reranks the rows it owns) — the 100M
+            # configuration where no device holds the full flat store
+            from nvdb_tpu.dist import mesh as meshmod
+            refine_store = VectorStore.from_vecbin(
+                args.base, sharding=meshmod.row_sharding(idx.mesh),
+                n_shards=args.shards)
+        else:
+            refine_store = VectorStore.from_vecbin(args.base)
 
     print(f"kind={kind} nlist={idx.nlist} lcap={idx.lcap} N={idx.n} d={idx.d} "
           f"Q={Q} k={args.k} index_MB={idx.index_bytes/1e6:.1f}")
@@ -163,7 +172,14 @@ def main(argv=None):
             return block
 
         blocks = [_pad_block(qpad[s * b:(s + 1) * b]) for s in range(n_batches)]
-        if args.device_queries or args.chained:
+        if args.shards > 1:
+            # replicated placement over the index's mesh: required under a
+            # multi-process runtime (an uncommitted local array cannot feed
+            # a global-mesh shard_map), harmless single-process
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(idx.mesh, P())
+            blocks = [jax.device_put(jnp.asarray(x), rep) for x in blocks]
+        elif args.device_queries or args.chained:
             blocks = [jax.device_put(jnp.asarray(x)) for x in blocks]
 
         if args.chained:
@@ -261,15 +277,43 @@ def main(argv=None):
 
             cblocks = [_pad_cand(cand[s * b:(s + 1) * b])
                        for s in range(n_batches)]
-            if args.device_queries:
+            if args.shards > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rep = NamedSharding(idx.mesh, P())
+                cblocks = [jax.device_put(jnp.asarray(x), rep)
+                           for x in cblocks]
+            elif args.device_queries:
                 cblocks = [jax.device_put(jnp.asarray(x)) for x in cblocks]
 
-            def refine_step(block, cblock):
-                v, i = _refine_block(jnp.asarray(block),
-                                     jnp.asarray(cblock),
-                                     refine_store.vectors, refine_store.scales,
-                                     args.k, backend=backend)
-                return np.asarray(i)[:b]
+            if args.shards > 1:
+                # sharded stage B: each shard reranks the candidate rows it
+                # owns from its local store shard (dist/sharded_ivf.py)
+                from nvdb_tpu.dist.sharded_ivf import sharded_refine
+
+                if refine_store.scales is not None:
+                    def _srf(q, c, v, s):
+                        return sharded_refine(idx.mesh, q, c, v, s, args.k)
+                    _srf = jax.jit(_srf)
+                    def refine_step(block, cblock):
+                        v, i = _srf(jnp.asarray(block), jnp.asarray(cblock),
+                                    refine_store.vectors, refine_store.scales)
+                        return np.asarray(i)[:b]
+                else:
+                    def _srf(q, c, v):
+                        return sharded_refine(idx.mesh, q, c, v, None, args.k)
+                    _srf = jax.jit(_srf)
+                    def refine_step(block, cblock):
+                        v, i = _srf(jnp.asarray(block), jnp.asarray(cblock),
+                                    refine_store.vectors)
+                        return np.asarray(i)[:b]
+            else:
+                def refine_step(block, cblock):
+                    v, i = _refine_block(jnp.asarray(block),
+                                         jnp.asarray(cblock),
+                                         refine_store.vectors,
+                                         refine_store.scales,
+                                         args.k, backend=backend)
+                    return np.asarray(i)[:b]
 
             for w in range(min(args.warmup, n_batches)):
                 refine_step(blocks[w], cblocks[w])
