@@ -39,12 +39,19 @@ def main():
                     help="with --dtype i8: quantize queries too (native "
                          "i8 x i8 MXU matmul, half the HBM bytes)")
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--merge", default=None,
+                    help="flat-scan merge strategy override (e.g. 'key' — "
+                         "bf16-precision ranking, measured ~5%% faster at "
+                         "B=512; default: NVDB_MERGE env or 'extract')")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny shapes for CPU validation")
     args = ap.parse_args()
 
     if args.smoke:
         args.n, args.d, args.batch, args.iters = 20000, 128, 8, 5
+    if args.merge:
+        import os
+        os.environ["NVDB_MERGE"] = args.merge  # read at kernel trace time
 
     import jax
 

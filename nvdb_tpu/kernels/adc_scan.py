@@ -57,11 +57,15 @@ def _score_list(codes_u8, lut3_bf16, m, lcap, slim: bool = True):
     nib = jax.lax.broadcasted_iota(jnp.int32, (m, 16, lcap), 1)
     oh_lo = (lo == nib).astype(jnp.bfloat16)                 # [M, 16, L]
     if slim:
+        # Mosaic requires a 32-bit matmul accumulator (bf16
+        # preferred_element_type fails to lower — caught by tpu_smoke), so
+        # t stays f32; the one-hot mask and the product round to bf16,
+        # halving those two slabs, and the final reduce accumulates f32.
         oh_hi = (hi == nib).astype(jnp.bfloat16)
         t = jax.lax.dot_general(
             lut3_bf16, oh_lo, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.bfloat16)             # [M, 16, L]
-        prod = (oh_hi * t).reshape(m * 16, lcap)
+            preferred_element_type=jnp.float32)              # [M, 16, L]
+        prod = (oh_hi * t.astype(jnp.bfloat16)).reshape(m * 16, lcap)
         return -jnp.sum(prod, axis=0, keepdims=True,
                         dtype=jnp.float32)                   # [1, L]
     oh_hi = (hi == nib).astype(jnp.float32)
