@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--qi8", action="store_true",
                     help="with --dtype i8: quantize queries too (native "
                          "i8 x i8 MXU matmul, half the HBM bytes)")
+    ap.add_argument("--refine-k", type=int, default=0,
+                    help="with --qi8: EXACT i8 mode — fused f32-query dot "
+                         "rerank of the scan's top-REFINE_K (restores the "
+                         "f32-query ranking; logs the oracle id match)")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--merge", default=None,
                     help="flat-scan merge strategy override (e.g. 'key' — "
@@ -137,6 +141,18 @@ def main():
         return dispatch.flat_topk(qi, v, s, n_valid, k, backend="auto",
                                   query_scales=qs)
 
+    rk = max(args.refine_k, k) if args.refine_k else 0
+
+    @jax.jit
+    def scan_qi8_refined(qf, qi, qs, v, s):
+        # exact i8 mode: i8 x i8 scan -> fused f32-query dot rerank of the
+        # top-rk (restores the f32-query ranking, ~rk rows of extra work)
+        vv, ii = dispatch.flat_topk(qi, v, s, n_valid, rk, backend="auto",
+                                    query_scales=qs)
+        from nvdb_tpu.kernels.rerank import pallas_rerank
+
+        return pallas_rerank(qf, ii, v, s, k, metric="dot")
+
     B = args.batch
     if args.qi8:
         assert args.dtype == "i8", "--qi8 requires --dtype i8"
@@ -152,6 +168,9 @@ def main():
             lo = run.idx[0] * B
             hi = lo + B
             run.idx[0] = (run.idx[0] + 1) % 4
+            if rk:
+                return scan_qi8_refined(qpool[lo:hi], qpool_i8[lo:hi],
+                                        qsc[lo:hi], base, scales)
             return scan_qi8(qpool_i8[lo:hi], qsc[lo:hi], base, scales)
         run.idx = [0]
     else:
@@ -163,8 +182,15 @@ def main():
 
     # warmup / compile (reference warms up too, nvdb_bench.cpp:317-322)
     t0 = time.perf_counter()
-    _ = np.asarray(run(slices[0])[1])
+    first_ids = np.asarray(run(slices[0])[1])
     log(f"compile+first scan: {time.perf_counter() - t0:.1f}s")
+    if args.qi8 and rk:
+        # exactness evidence for the refined mode: top-k vs the f32-query
+        # oracle over the same int8 store (the accuracy-neutral default)
+        from nvdb_tpu.kernels import ops as _ops
+        ji = np.asarray(_ops.scan_topk(slices[0], base, scales, n_valid, k)[1])
+        log(f"refined-vs-f32-query-oracle id match: "
+            f"{np.mean(ji == first_ids):.4f}")
     for s in slices[1:]:
         _ = np.asarray(run(s)[1])
 
@@ -186,6 +212,8 @@ def main():
 
     baseline_qps = 57.4  # reference 1M FP16 flat scan, OMP@8 (384-D!)
     dt = "i8xi8" if args.qi8 else args.dtype
+    if args.qi8 and rk:
+        dt = f"i8xi8r{args.refine_k}"
     metric = f"flatscan_{dt}_{args.n//1000}Kx{args.d}_b{B}_qps"
     print(json.dumps({
         "metric": metric,
