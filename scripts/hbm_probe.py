@@ -108,6 +108,63 @@ def main():
     )
     timed("pallas_stream_par", jax.jit(lambda x: stream_p(x)), base)
 
+    # 3. manual 4-deep DMA ring: does buffering deeper than Mosaic's
+    # default double-buffer lift the stream rate?
+    DEPTH = 4
+    nt = Np // T
+
+    def kern_m(v_hbm, out_ref, bufs, acc, sems):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc[:] = jnp.full(acc.shape, -jnp.inf, jnp.float32)
+            for d in range(1, DEPTH):
+                if d <= nt - 1:
+                    pltpu.make_async_copy(v_hbm.at[pl.ds((d - 1) * T, T)],
+                                          bufs.at[d - 1], sems.at[d - 1]
+                                          ).start()
+
+        # wait for this step's tile, kick the one DEPTH-1 ahead
+        slot = i % DEPTH
+
+        @pl.when(i + DEPTH - 1 < nt)
+        def _():
+            pltpu.make_async_copy(
+                v_hbm.at[pl.ds((i + DEPTH - 1) * T, T)],
+                bufs.at[(i + DEPTH - 1) % DEPTH],
+                sems.at[(i + DEPTH - 1) % DEPTH]).start()
+
+        pltpu.make_async_copy(v_hbm.at[pl.ds(0, T)], bufs.at[slot],
+                              sems.at[slot]).wait()
+        acc[:] = jnp.maximum(acc[:], jnp.max(
+            bufs[slot].astype(jnp.float32), axis=0, keepdims=True)[:, :128])
+
+        @pl.when(i == nt - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    from jax.experimental.pallas import tpu as _pt
+    stream_m = pl.pallas_call(
+        kern_m,
+        grid=(nt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((DEPTH, T, Dp), base.dtype),
+                        pltpu.VMEM((1, 128), jnp.float32),
+                        _pt.SemaphoreType.DMA((DEPTH,))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )
+    # prologue (i==0) issues tiles 0..DEPTH-2 into bufs 0..DEPTH-2; each
+    # step i then issues tile i+DEPTH-1 into buf (i+DEPTH-1)%DEPTH — every
+    # tile started exactly once before its wait
+    timed("pallas_stream_manual4", jax.jit(lambda x: stream_m(x)), base)
+
 
 if __name__ == "__main__":
     main()
