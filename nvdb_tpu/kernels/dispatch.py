@@ -40,6 +40,15 @@ def refine_backend(batch: int, refine_k: int) -> str:
     return "pallas" if batch * refine_k <= 262144 else "jnp"
 
 
+# Above this batch size one kernel call loses to two: the VPU merge cost
+# grows superlinearly in B (more extraction rounds per tile AND a smaller
+# VMEM-feasible tile), so B=1024 single-call measured 47.3K QPS vs 50.8K
+# for B=512 (paired A/B, key merge). Splitting makes large-B throughput
+# monotone by construction — the halves chain on one device with no
+# intermediate host sync.
+_MAX_KERNEL_BATCH = 512
+
+
 def flat_topk(
     queries: jax.Array,
     vectors: jax.Array,
@@ -60,6 +69,18 @@ def flat_topk(
     if backend == "pallas":
         from nvdb_tpu.kernels import flat_scan
 
+        B = queries.shape[0]
+        if B > _MAX_KERNEL_BATCH and B % _MAX_KERNEL_BATCH == 0:
+            outs = [
+                flat_scan.pallas_flat_topk(
+                    queries[s:s + _MAX_KERNEL_BATCH], vectors, scales,
+                    n_valid, k, interpret=interpret,
+                    query_scales=(query_scales[s:s + _MAX_KERNEL_BATCH]
+                                  if query_scales is not None else None))
+                for s in range(0, B, _MAX_KERNEL_BATCH)]
+            import jax.numpy as jnp
+            return (jnp.concatenate([v for v, _ in outs], axis=0),
+                    jnp.concatenate([i for _, i in outs], axis=0))
         return flat_scan.pallas_flat_topk(
             queries, vectors, scales, n_valid, k, interpret=interpret,
             query_scales=query_scales)
