@@ -34,10 +34,15 @@ def refine_backend(batch: int, refine_k: int) -> str:
     if os.environ.get("NVDB_FORCE_JNP", "0") == "1" or \
             jax.default_backend() != "tpu":
         return "jnp"
-    # r3 measured crossover: the query-blocked kernel wins everywhere
-    # measured (B x R up to 256 x 200); leave a guard for extreme fan-out
-    # where XLA's pipelined row gather catches up
-    return "pallas" if batch * refine_k <= 262144 else "jnp"
+    # r3 measured crossover (bench_artifacts/refine_ab_r3.txt, paired
+    # chained samples, 1M x 768 bf16): the query-blocked kernel wins/ties
+    # up to ~3.2K candidate rows per call (B=8 all R; B=64/R=50 — the
+    # flagship serving point — by -0.47 +/- 0.42 ms); above that XLA's
+    # pipelined row gather wins (each pallas candidate DMAs a full aligned
+    # 16-row block = 24.6 KB vs its 1.5 KB row, a bytes floor no issue
+    # order can fix — B=256/R=100 measured pallas 2.6 vs jnp 0.56 ms
+    # rtt-corrected).
+    return "pallas" if batch * refine_k <= 3200 else "jnp"
 
 
 # Above this batch size one kernel call loses to two: the VPU merge cost
