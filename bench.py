@@ -42,7 +42,10 @@ def main():
                     help="with --qi8: EXACT i8 mode — fused f32-query dot "
                          "rerank of the scan's top-REFINE_K (restores the "
                          "f32-query ranking; logs the oracle id match)")
-    ap.add_argument("--iters", type=int, default=30)
+    # one trailing fetch costs a full relay round-trip (~28 ms) that
+    # amortizes into the reported per-scan time as RTT/iters; 100 iters
+    # keeps that bias under ~0.3 ms/scan (scripts/rtt_probe.py quantifies)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--merge", default=None,
                     help="flat-scan merge strategy override (e.g. 'key' — "
                          "bf16-precision ranking, measured ~5%% faster at "
