@@ -14,7 +14,9 @@ Design:
   (f32 accumulate; f32 stores get the multi-pass HIGHEST decomposition, bf16/int8
   single pass). Query batching is therefore native, not bolted on like the
   reference's bench-side batched loops (nvdb_bench.cpp:47-158).
-- Running top-k lives in VMEM scratch across grid steps. Two merge strategies:
+- Running top-k lives in VMEM scratch across grid steps. Main merge
+  strategies (others are kept as measured A/B references — see the per-mode
+  comments in the kernel body and BENCHMARKS.md §1a):
   * "extract" (default): an unsorted [B, 128] slot buffer with min-slot
     replacement — the TPU re-expression of the reference's TopKBuffer
     (topK.h:23-49, worst-slot tracking). Per tile: ONE vector pass counts how
@@ -22,12 +24,19 @@ Design:
     `fori_loop` runs exactly that many max-extraction rounds (clamped to k —
     beyond k tile-local improvers cannot enter the merged top-k). In steady
     state the count is 1-3, so merge work is O(T) per tile and independent of
-    k — vs O(k*T) for the legacy mode below, which capped round-1 throughput
-    at ~30% of roofline (VERDICT.md "What's missing" #1).
+    k — vs O(k*T) for the legacy "rounds" mode, which capped round-1
+    throughput.
+  * "key" (NVDB_MERGE=key): packs (truncated-score, col) into one int32 per
+    lane so every extraction round is a bare max+zap on a single array — no
+    id-select pass, no mixed-layout masks. Ranks at bf16 precision (paired
+    A/B: -0.5 ms at B=512, -1.0 ms at B=1024 vs extract; identical at
+    B<=128 where the scan is HBM-stream-bound at ~90% of nameplate).
   * "rounds" (legacy, NVDB_MERGE=rounds): k rounds of masked max-extraction
     over [B, k+T] every tile. Kept as the A/B reference.
 - Padding rows (global id >= n_valid) are masked to -inf before the merge, so
   store padding can never be returned.
+- Batches above 512 queries are split by dispatch.flat_topk into chained
+  512-query kernel calls (merge cost grows superlinearly in B).
 """
 
 from __future__ import annotations
