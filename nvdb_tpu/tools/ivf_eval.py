@@ -267,8 +267,9 @@ def main(argv=None):
 
             backend = args.ivf_backend
             if backend == "auto":
-                from nvdb_tpu.kernels.dispatch import default_backend
-                backend = default_backend()
+                # size-crossover pick, same as the fused serving path
+                from nvdb_tpu.kernels.dispatch import refine_backend
+                backend = refine_backend(bp, refine_k)
 
             def _pad_cand(cand_np):
                 cpad = np.full((bp, refine_k), -1, np.int64)
