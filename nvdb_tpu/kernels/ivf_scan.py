@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nvdb_tpu.kernels.flat_scan import _merge_topk_sorted, NEG_INF
+from nvdb_tpu.kernels.flat_scan import (_merge_topk_sorted, NEG_INF,
+                                        POS_INF, K_LANES)
 
 
 def _make_kernel(k: int, lcap: int, has_scales: bool):
@@ -61,16 +62,47 @@ def _make_kernel(k: int, lcap: int, has_scales: bool):
         sids = sids_ref[0]                        # [1, Lcap]
         s = jnp.where(sids >= 0, s, NEG_INF)
 
-        cvals = jnp.concatenate([vals_scr[0:1], s], axis=1)
-        cids = jnp.concatenate([ids_scr[0:1], sids], axis=1)
-        nv, ni = _merge_topk_sorted(cvals, cids, k)
-        vals_scr[0:1] = nv
-        ids_scr[0:1] = ni
+        # slot-buffer merge with improver count + dynamic extraction (the
+        # flat-scan "extract" / ADC gen-2 strategy): a fixed k-round sorted
+        # merge per (query, probe) step made every probe pay O(k) VPU
+        # passes; with the count only the FIRST probed list (which seeds
+        # most of the final top-k) pays ~k rounds, later lists pay their
+        # improver count (~1-3). Slot ids are unique across probed lists
+        # (each row is packed in exactly one list), so no dup handling.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, K_LANES), 1)
+        live = lane < k
+        theta0 = jnp.min(jnp.where(live, vals_scr[0:1], POS_INF), axis=1,
+                         keepdims=True)
+        cnt = jnp.sum((s > theta0).astype(jnp.int32))
+        c = jnp.minimum(cnt, k)
+
+        def body(_, carry):
+            s_c, vals_c, ids_c = carry
+            mx = jnp.max(s_c, axis=1, keepdims=True)
+            idv = jnp.max(jnp.where(s_c == mx, sids, -1), axis=1,
+                          keepdims=True)
+            s_c = jnp.where(sids == idv, NEG_INF, s_c)
+            vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+                           keepdims=True)
+            ins = mx > vmin
+            slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
+                           axis=1, keepdims=True)
+            do = ins & (lane == slot)
+            vals_c = jnp.where(do, mx, vals_c)
+            ids_c = jnp.where(do, idv, ids_c)
+            return s_c, vals_c, ids_c
+
+        _, v1, i1 = jax.lax.fori_loop(
+            0, c, body, (s, vals_scr[0:1], ids_scr[0:1]))
+        vals_scr[0:1] = v1
+        ids_scr[0:1] = i1
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _emit():
-            vals_out[0] = vals_scr[0:1]
-            ids_out[0] = ids_scr[0:1]
+            # one-time sort of the slot buffer, descending
+            sv, si = _merge_topk_sorted(vals_scr[0:1], ids_scr[0:1], k)
+            vals_out[0] = sv
+            ids_out[0] = si
 
     return kernel
 
@@ -124,8 +156,8 @@ def pallas_ivf_probe_topk(
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, k), jnp.float32),
-            pltpu.VMEM((8, k), jnp.int32),
+            pltpu.VMEM((8, K_LANES), jnp.float32),
+            pltpu.VMEM((8, K_LANES), jnp.int32),
         ],
     )
     out = pl.pallas_call(
