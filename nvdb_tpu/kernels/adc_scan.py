@@ -40,17 +40,18 @@ from nvdb_tpu.kernels.flat_scan import (_merge_topk_sorted, NEG_INF, POS_INF,
                                         K_LANES)
 
 
-def _score_list(codes_u8, lut3_bf16, m, lcap, slim: bool = True):
+def _score_list(codes_u8, lut3_bf16, m, lcap, slim: bool = False):
     """ADC scores of one packed list: [M, L] codes x [M, 16, 16] LUT ->
     [1, L] negated L2 (max-is-best), via the nibble one-hot matmul.
 
-    ``slim`` (ADC generation 3, VERDICT r2 next #5): the per-list cost is
-    dominated by materializing the [M, 16, L] one-hot / t intermediates
-    through VMEM, not by the compares or the 16x16 matmuls — so keep ALL
-    of them bf16 (halves every slab: oh_hi, t, prod) and accumulate the
-    final reduction in f32. bf16 products are exact (one-hot x bf16 LUT
-    entry); only the f32 accumulation order changes vs the jnp oracle.
-    slim=False keeps the round-2 mixed-precision path for A/B."""
+    ``slim`` was the ADC generation-3 precision attempt (VERDICT r2 next
+    #5): round the one-hot mask and product slabs to bf16 (the matmul
+    accumulator must stay f32 — Mosaic rejects bf16 accs). MEASURED
+    SLOWER: +3.1 +/- 0.09 ms paired at the flagship shape (B=64, P=64,
+    m=96, lcap=1024) — the extra f32->bf16 conversion pass on t
+    materializes through VMEM and outweighs the slab savings, and bf16
+    elementwise ops are not half-cost on the 32-bit-lane VPU. Kept as an
+    A/B flag; default stays the round-2 mixed path."""
     codes = codes_u8.astype(jnp.int32)                       # [M, L]
     lo = (codes & 15)[:, None, :]                            # [M, 1, L]
     hi = (codes >> 4)[:, None, :]
@@ -80,7 +81,7 @@ def _score_list(codes_u8, lut3_bf16, m, lcap, slim: bool = True):
     return -jnp.sum(prod, axis=0, keepdims=True)             # [1, L]
 
 
-def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = True):
+def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = False):
     """g probed lists per grid step: their codes/slot-ids are DMA'd into
     VMEM scratch by scalar-prefetch-driven async copies (aligned: dim 0 of a
     3D HBM ref is untiled), scored one by one, and folded with ONE
@@ -187,7 +188,7 @@ def pallas_adc_topk(
     slot_ids: jax.Array,   # [nlist, Lcap] int32 (-1 padding)
     k: int,
     g: int = 4,            # probed lists folded per grid step
-    slim: bool = True,     # bf16 intermediates (ADC gen 3); False = r2 A/B
+    slim: bool = False,    # bf16 intermediates: measured SLOWER, A/B only
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k ADC candidates over each query's probed lists. Scores are
