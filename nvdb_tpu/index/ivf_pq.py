@@ -44,6 +44,7 @@ def _ivfpq_search_block(
     m: int,
     backend: str = "jnp",
     dedup: int = 0,           # replica count of the index (<=1: ids unique)
+    fills: Optional[jax.Array] = None,  # [nlist] int32 (gen-4 chunk skip)
 ) -> Tuple[jax.Array, jax.Array]:
     B = q_rot.shape[0]
     qc = jnp.dot(q_rot, centroids.T, preferred_element_type=jnp.float32,
@@ -62,7 +63,7 @@ def _ivfpq_search_block(
         # B=256, P=64, m=96 that slab is 1.6 GB in f32, a real OOM risk
         return adc_scan.pallas_adc_topk(
             lut.astype(jnp.bfloat16).reshape(B, nprobe, m, 16, 16),
-            probes, codes, slot_ids, k)
+            probes, codes, slot_ids, k, fills=fills)
 
     lut = lut.reshape(B, nprobe, m, pq.KSUB)                     # [B, P, M, 256]
     code_slab = jnp.take(codes, probes, axis=0)                  # [B, P, M, L]
@@ -121,6 +122,8 @@ class IVFPQIndex:
     m: int
     n_spilled: int = 0
     replicas: int = 1                 # >1: each row encoded in its top-R lists
+    _fills: Optional[jax.Array] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @property
     def nlist(self) -> int:
@@ -129,6 +132,15 @@ class IVFPQIndex:
     @property
     def lcap(self) -> int:
         return self.codes.shape[2]
+
+    def fills(self) -> jax.Array:
+        """[nlist] live-slot counts (1 + last live slot id), cached — the
+        gen-4 chunk-skip operand: on repacked indexes most of each list's
+        capacity is padding the ADC kernel need not score."""
+        if self._fills is None:
+            from nvdb_tpu.kernels.adc_scan import list_fills
+            self._fills = list_fills(self.slot_ids)
+        return self._fills
 
     @property
     def index_bytes(self) -> int:
@@ -310,7 +322,9 @@ class IVFPQIndex:
         v, i = _ivfpq_search_block(q_rot, self.centroids, self.codebooks,
                                    self.codes, self.slot_ids, kk, nprobe,
                                    self.m, backend=backend,
-                                   dedup=self.replicas)
+                                   dedup=self.replicas,
+                                   fills=(self.fills()
+                                          if backend == "pallas" else None))
         if refine_k > 0:
             if refine_store is None:
                 raise ValueError("refine_k > 0 requires refine_store")

@@ -81,14 +81,26 @@ def _score_list(codes_u8, lut3_bf16, m, lcap, slim: bool = False):
     return -jnp.sum(prod, axis=0, keepdims=True)             # [1, L]
 
 
-def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = False):
+def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = False,
+                 nch: int = 1):
     """g probed lists per grid step: their codes/slot-ids are DMA'd into
     VMEM scratch by scalar-prefetch-driven async copies (aligned: dim 0 of a
     3D HBM ref is untiled), scored one by one, and folded with ONE
     count+extract merge over the concatenated [1, g*L] lane vector — the
-    per-step vector->scalar sync and fori_loop setup amortize g-fold."""
-    def kernel(probes_ref, lut_ref, codes_hbm, sids_hbm,
-               vals_out, ids_out, vals_scr, ids_scr,
+    per-step vector->scalar sync and fori_loop setup amortize g-fold.
+
+    ``nch > 1`` is ADC generation 4 (chunk-skipping): the packed-list slab
+    trades capacity against spill (§4 of BENCHMARKS), so on repacked
+    indexes most slots are padding (flagship p4s8: probed lists average
+    16% live). The list is scored in nch chunks of lcap/nch lanes; chunks
+    whose start lies beyond the list's fill (1 + last live slot, from the
+    second scalar-prefetch operand) skip the one-hot construction and
+    matmul entirely under @pl.when — dead lanes keep the NEG_INF the
+    score scratch was initialized with, so results are bit-identical to
+    the full-width scan."""
+    lc = lcap // nch
+    def kernel(probes_ref, fills_ref, lut_ref, codes_hbm, sids_hbm,
+               vals_out, ids_out, vals_scr, ids_scr, s_scr,
                codes_vmem, sids_vmem, csem, ssem):
         b = pl.program_id(0)
         j = pl.program_id(1)
@@ -110,16 +122,36 @@ def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = False):
             pltpu.make_async_copy(sids_hbm.at[pl.ds(0, 1)],
                                   sids_vmem.at[pl.ds(0, 1)], ssem).wait()
 
-        parts_s = []
-        parts_i = []
-        for gi in range(g):
-            lut3 = lut_ref[0, 0, gi].astype(jnp.bfloat16)    # [M, 16, 16]
-            sg = _score_list(codes_vmem[gi], lut3, m, lcap, slim)  # [1, L]
-            sid_g = sids_vmem[gi]                            # [1, L]
-            parts_s.append(jnp.where(sid_g >= 0, sg, NEG_INF))
-            parts_i.append(sid_g)
-        s = jnp.concatenate(parts_s, axis=1)                 # [1, g*L]
-        sids = jnp.concatenate(parts_i, axis=1)
+        if nch == 1:
+            parts_s = []
+            parts_i = []
+            for gi in range(g):
+                lut3 = lut_ref[0, 0, gi].astype(jnp.bfloat16)  # [M, 16, 16]
+                sg = _score_list(codes_vmem[gi], lut3, m, lcap, slim)  # [1, L]
+                sid_g = sids_vmem[gi]                          # [1, L]
+                parts_s.append(jnp.where(sid_g >= 0, sg, NEG_INF))
+                parts_i.append(sid_g)
+            s = jnp.concatenate(parts_s, axis=1)               # [1, g*L]
+            sids = jnp.concatenate(parts_i, axis=1)
+        else:
+            s_scr[:] = jnp.full(s_scr.shape, NEG_INF, dtype=jnp.float32)
+            parts_i = []
+            for gi in range(g):
+                li = probes_ref[b, j * g + gi]
+                fill = fills_ref[li]
+                lut3 = lut_ref[0, 0, gi].astype(jnp.bfloat16)  # [M, 16, 16]
+                for ci in range(nch):
+                    @pl.when(ci * lc < fill)
+                    def _score_chunk(gi=gi, ci=ci, lut3=lut3):
+                        cods = codes_vmem[gi, :, ci * lc:(ci + 1) * lc]
+                        sg = _score_list(cods, lut3, m, lc, slim)  # [1, lc]
+                        sid_c = sids_vmem[gi, :, ci * lc:(ci + 1) * lc]
+                        s_scr[0:1, gi * lcap + ci * lc:
+                              gi * lcap + (ci + 1) * lc] = jnp.where(
+                                  sid_c >= 0, sg, NEG_INF)
+                parts_i.append(sids_vmem[gi])
+            s = s_scr[0:1]                                     # [1, g*L]
+            sids = jnp.concatenate(parts_i, axis=1)
 
         # Slot-buffer merge with count + dynamic extraction (the flat-scan
         # "extract" strategy, flat_scan.py merge_scr): a fixed k-round sorted
@@ -180,7 +212,23 @@ def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = False):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "g", "slim", "interpret"))
+def list_fills(slot_ids: jax.Array) -> jax.Array:
+    """Per-list fill = 1 + index of the LAST live slot (0 if none). Robust
+    to interior holes: chunk-skipping only assumes live slots lie below
+    fill, not that they are prefix-packed (the packers do prefix-pack)."""
+    live = slot_ids >= 0
+    last = slot_ids.shape[1] - jnp.argmax(live[:, ::-1], axis=1)
+    return jnp.where(live.any(axis=1), last, 0).astype(jnp.int32)
+
+
+def _auto_chunk(lcap: int) -> int:
+    """Chunk width for the gen-4 skip loop: 256 lanes when the capacity
+    splits into >=2 chunks, else full width (no skipping possible)."""
+    return 256 if (lcap % 256 == 0 and lcap >= 512) else lcap
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "g", "slim", "chunk", "interpret"))
 def pallas_adc_topk(
     lut: jax.Array,        # [B, P, M, 16, 16] f32 ADC tables (hi, lo split)
     probes: jax.Array,     # [B, P] int32 probed list ids
@@ -189,6 +237,8 @@ def pallas_adc_topk(
     k: int,
     g: int = 4,            # probed lists folded per grid step
     slim: bool = False,    # bf16 intermediates: measured SLOWER, A/B only
+    fills: Optional[jax.Array] = None,  # [nlist] int32 (list_fills)
+    chunk: Optional[int] = None,  # skip-chunk lanes; 0 = full width; None = auto
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k ADC candidates over each query's probed lists. Scores are
@@ -199,6 +249,18 @@ def pallas_adc_topk(
         raise ValueError(f"k={k} exceeds the {K_LANES}-lane ADC slot buffer")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if chunk is None:
+        chunk = _auto_chunk(lcap)
+    if chunk <= 0 or chunk > lcap or lcap % chunk != 0:
+        chunk = lcap
+    nch = lcap // chunk
+    if fills is None:
+        fills = (list_fills(slot_ids) if nch > 1
+                 else jnp.zeros((nlist,), jnp.int32))
+    if nch == 1:
+        # full-width scan never reads fills; pin them so the cache key of
+        # the jitted wrapper doesn't churn on caller-provided variants
+        fills = jnp.zeros((nlist,), jnp.int32)
 
     g = max(1, min(g, P))
     if P % g != 0:
@@ -212,27 +274,28 @@ def pallas_adc_topk(
             [lut, jnp.repeat(lut[:, -1:], pad, axis=1)], axis=1)
         P += pad
 
-    kernel = _make_kernel(k, m, lcap, g, slim)
+    kernel = _make_kernel(k, m, lcap, g, slim, nch)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, P // g),
         in_specs=[
             pl.BlockSpec((1, 1, g, m, 16, 16),
-                         lambda b, j, pr: (b, j, 0, 0, 0, 0),
+                         lambda b, j, *pr: (b, j, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, k), lambda b, j, pr: (b, 0, 0),
+            pl.BlockSpec((1, 1, k), lambda b, j, *pr: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k), lambda b, j, pr: (b, 0, 0),
+            pl.BlockSpec((1, 1, k), lambda b, j, *pr: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((8, K_LANES), jnp.float32),
             pltpu.VMEM((8, K_LANES), jnp.int32),
+            pltpu.VMEM((1, g * lcap), jnp.float32),
             pltpu.VMEM((g, m, lcap), jnp.uint8),
             pltpu.VMEM((g, 1, lcap), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -250,7 +313,7 @@ def pallas_adc_topk(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(probes.astype(jnp.int32),
+    )(probes.astype(jnp.int32), fills.astype(jnp.int32),
       lut.reshape(B, P // g, g, m, 16, 16), codes_t,
       slot_ids.reshape(nlist, 1, lcap).astype(jnp.int32))
     return out[0].reshape(B, k), out[1].reshape(B, k)

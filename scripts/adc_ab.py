@@ -6,7 +6,14 @@ lcap=1024, B x P probes), synthetic codes/LUTs — the kernel cost does not
 depend on data values. Interleaved paired samples, 95% CI on the delta
 (Performance_CUDA.md:77-111 methodology).
 
+``--mode gen4`` instead A/Bs chunk-skipping (generation 4): full-width
+scan vs chunk-gated scan on an index whose lists are partially filled
+(``--fill-frac``, flagship repacked indexes average ~16% live in probed
+lists). Arms are bit-identical by construction; the delta is pure
+skipped-work savings minus chunking overhead.
+
 Usage: adc_ab.py [--b 64] [--p 64] [--g 4] [--pairs 10] [--chain 10]
+                 [--mode slim|gen4] [--fill-frac 0.16] [--chunk 256]
 """
 
 import argparse
@@ -32,6 +39,9 @@ def main():
     ap.add_argument("--pairs", type=int, default=10)
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mode", choices=["slim", "gen4"], default="slim")
+    ap.add_argument("--fill-frac", type=float, default=0.16)
+    ap.add_argument("--chunk", type=int, default=256)
     args = ap.parse_args()
 
     import jax
@@ -40,7 +50,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/nvdb_jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from nvdb_tpu.kernels.adc_scan import pallas_adc_topk
+    from nvdb_tpu.kernels.adc_scan import pallas_adc_topk, list_fills
 
     B, P, m, L, nlist = args.b, args.p, args.m, args.lcap, args.nlist
     key = jax.random.PRNGKey(0)
@@ -51,27 +61,48 @@ def main():
         k2, (B, P), 0, nlist, dtype=jnp.int32))
     codes = jax.block_until_ready(jax.random.randint(
         k3, (nlist, m, L), 0, 256, dtype=jnp.int32).astype(jnp.uint8))
-    slot_ids = jax.block_until_ready(jnp.tile(
-        jnp.arange(L, dtype=jnp.int32)[None], (nlist, 1)))
+    if args.mode == "gen4":
+        # prefix-packed partial fills: lognormal around fill_frac*L, the
+        # shape of a repacked index's probed-list occupancy (BENCHMARKS §4)
+        rng = np.random.default_rng(7)
+        f = rng.lognormal(mean=0.0, sigma=0.6, size=nlist) * args.fill_frac
+        fills_np = np.clip(np.round(f * L), 0, L).astype(np.int32)
+        sid_np = np.where(
+            np.arange(L)[None, :] < fills_np[:, None],
+            np.arange(L, dtype=np.int32)[None, :]
+            + (np.arange(nlist, dtype=np.int32) * L)[:, None], -1)
+        slot_ids = jax.block_until_ready(jnp.asarray(sid_np))
+        fills = jax.block_until_ready(list_fills(slot_ids))
+        log(f"gen4 fills: mean={fills_np.mean():.0f}/{L} "
+            f"({fills_np.mean()/L:.2%}), max={fills_np.max()}")
+    else:
+        slot_ids = jax.block_until_ready(jnp.tile(
+            jnp.arange(L, dtype=jnp.int32)[None], (nlist, 1)))
+        fills = None
 
-    def make(slim):
+    def make(slim=False, chunk=None):
         def run(lut, probes, codes, slot_ids):
             return pallas_adc_topk(lut, probes, codes, slot_ids, args.k,
-                                   g=args.g, slim=slim)
-        j = jax.jit(run)
+                                   g=args.g, slim=slim, chunk=chunk,
+                                   fills=fills)
+        j = jax.jit(run, static_argnums=())
         return lambda: j(lut, probes, codes, slot_ids)
 
-    arms = {"slim": make(True), "r2mixed": make(False)}
+    if args.mode == "gen4":
+        arms = {"full": make(chunk=L), "chunked": make(chunk=args.chunk)}
+    else:
+        arms = {"slim": make(slim=True), "r2mixed": make(slim=False)}
     for name, fn in arms.items():
         t0 = time.perf_counter()
         i0 = np.asarray(fn()[1])
         log(f"[{name}] compile+run {time.perf_counter()-t0:.1f}s")
-    # arms must agree on rankings (identical math modulo f32-accumulation
-    # order of the bf16 products)
-    ia = np.asarray(arms["slim"]()[1])
-    ib = np.asarray(arms["r2mixed"]()[1])
+    # arms must agree on rankings (gen4: bit-identical by construction;
+    # slim: identical math modulo f32-accumulation order)
+    na, nb = list(arms)
+    ia = np.asarray(arms[na]()[1])
+    ib = np.asarray(arms[nb]()[1])
     match = np.mean(ia == ib)
-    log(f"slim-vs-r2mixed id match: {match:.4f}")
+    log(f"{na}-vs-{nb} id match: {match:.4f}")
 
     def timed(fn):
         t0 = time.perf_counter()
@@ -87,15 +118,17 @@ def main():
     for _ in range(args.pairs):
         for n, fn in arms.items():
             samples[n].append(timed(fn))
-    s_slim = np.asarray(samples["slim"])
-    s_mix = np.asarray(samples["r2mixed"])
-    d = s_slim - s_mix
+    s_a = np.asarray(samples[na])
+    s_b = np.asarray(samples[nb])
+    d = s_a - s_b
     ci = 1.96 * d.std(ddof=1) / np.sqrt(len(d)) if len(d) > 1 else 0.0
-    print(f"RESULT stage=adc B={B} P={P} m={m} lcap={L} g={args.g} "
-          f"k={args.k} pairs={args.pairs} chain={args.chain} "
-          f"slim_ms={s_slim.mean():.3f} r2_ms={s_mix.mean():.3f} "
+    extra = (f"fill_frac={args.fill_frac} chunk={args.chunk} "
+             if args.mode == "gen4" else "")
+    print(f"RESULT stage=adc mode={args.mode} B={B} P={P} m={m} lcap={L} "
+          f"g={args.g} k={args.k} pairs={args.pairs} chain={args.chain} "
+          f"{extra}{na}_ms={s_a.mean():.3f} {nb}_ms={s_b.mean():.3f} "
           f"delta_ms={d.mean():+.3f} ci95={ci:.3f} "
-          f"slim_ms_q={s_slim.mean()/B:.4f} id_match={match:.4f}", flush=True)
+          f"{nb}_ms_q={s_b.mean()/B:.4f} id_match={match:.4f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -131,6 +131,30 @@ def main():
     m = np.mean(np.asarray(ip) == np.asarray(ij))
     ok("adc_scan", m >= 0.8, f"id_match={m:.3f}")
 
+    # gen-4 chunk-skip: chunked scan must be BIT-identical to full width
+    # (skipped chunks are padding lanes the full scan masks to NEG_INF)
+    from nvdb_tpu.kernels import adc_scan
+    from nvdb_tpu.kernels import pq as pqk
+    q_rot = (jnp.asarray(qp) @ pqi.rotation if pqi.rotation is not None
+             else jnp.asarray(qp))
+    qc = jnp.dot(q_rot, pqi.centroids.T)
+    c2 = jnp.sum(pqi.centroids * pqi.centroids, axis=1)[None, :]
+    _, probes = jax.lax.top_k(2.0 * qc - c2, 8)
+    cents_p = jnp.take(pqi.centroids, probes, axis=0)
+    lut = pqk.adc_lut((q_rot[:, None, :] - cents_p).reshape(-1,
+                                                           q_rot.shape[1]),
+                      pqi.codebooks, pqi.m)
+    lut = lut.reshape(B, 8, pqi.m, 16, 16)
+    lc = pqi.lcap
+    ch = max(lc // 4, 8)
+    fv, fi = adc_scan.pallas_adc_topk(lut, probes, pqi.codes, pqi.slot_ids,
+                                      k, g=4, chunk=lc)
+    cv, ci = adc_scan.pallas_adc_topk(lut, probes, pqi.codes, pqi.slot_ids,
+                                      k, g=4, chunk=ch, fills=pqi.fills())
+    bit = (np.array_equal(np.asarray(fv), np.asarray(cv))
+           and np.array_equal(np.asarray(fi), np.asarray(ci)))
+    ok("adc_chunk_skip", bit, f"lcap={lc} chunk={ch}")
+
     # refine must convert candidate coverage into recall (recall ==
     # cand_recall is the invariant ivf_eval checks; absolute recall here is
     # corpus-limited — iid gaussian is ADC's worst case)

@@ -98,6 +98,37 @@ def test_pallas_adc_g_grouping(built, g):
         assert len(set(pi[r].tolist())) == k
 
 
+@pytest.mark.parametrize("chunk", [32, 64])
+def test_pallas_adc_chunk_skip_bit_identical(chunk):
+    """ADC generation 4 (chunk-skipping): scoring each list in fill-gated
+    chunks must be BIT-identical to the full-width scan — skipped chunks
+    hold only padding lanes, which the full-width path masks to NEG_INF
+    anyway. Lists have varied fills (0, partial chunk, exactly on a chunk
+    boundary, full) to cover every gate outcome."""
+    from nvdb_tpu.kernels import adc_scan
+
+    m, lcap, nlist, k = 16, 128, 8, 10
+    rng = np.random.default_rng(1)
+    fills_spec = [0, 5, chunk, chunk + 3, lcap, 17, 2 * chunk, 1]
+    codes = np.zeros((nlist, m, lcap), np.uint8)
+    slot_ids = np.full((nlist, lcap), -1, np.int32)
+    nxt = 0
+    for li, f in enumerate(fills_spec):
+        slot_ids[li, :f] = np.arange(nxt, nxt + f)
+        nxt += f
+        codes[li, :, :f] = rng.integers(0, 256, (m, f))
+    lut = rng.standard_normal((2, nlist, m, 16, 16)).astype(np.float32) * 0.1
+    probes = np.tile(np.arange(nlist, dtype=np.int32)[None, :], (2, 1))
+    fills = adc_scan.list_fills(jnp.asarray(slot_ids))
+    np.testing.assert_array_equal(np.asarray(fills), fills_spec)
+    args = (jnp.asarray(lut), jnp.asarray(probes), jnp.asarray(codes),
+            jnp.asarray(slot_ids), k)
+    fv, fi = adc_scan.pallas_adc_topk(*args, g=4, chunk=lcap)   # full width
+    cv, ci = adc_scan.pallas_adc_topk(*args, g=4, chunk=chunk, fills=fills)
+    np.testing.assert_array_equal(np.asarray(fv), np.asarray(cv))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ci))
+
+
 def test_pallas_adc_replicated_ids_share_one_slot():
     """Regression (round-2 review): a replicated row's second copy, probed in
     a LATER grid step, must absorb into the existing slot (keeping the best
