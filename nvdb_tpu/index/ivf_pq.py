@@ -32,7 +32,8 @@ from nvdb_tpu.utils import round_up
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "nprobe", "m", "backend", "dedup"))
+                   static_argnames=("k", "nprobe", "m", "backend", "dedup",
+                                    "ids_mode"))
 def _ivfpq_search_block(
     q_rot: jax.Array,         # [B, Dp] rotated queries
     centroids: jax.Array,     # [nlist, Dp]
@@ -45,6 +46,7 @@ def _ivfpq_search_block(
     backend: str = "jnp",
     dedup: int = 0,           # replica count of the index (<=1: ids unique)
     fills: Optional[jax.Array] = None,  # [nlist] int32 (gen-4 chunk skip)
+    ids_mode: str = "dma",    # "key" (gen-5): prefix-packed, replicas==1 only
 ) -> Tuple[jax.Array, jax.Array]:
     B = q_rot.shape[0]
     qc = jnp.dot(q_rot, centroids.T, preferred_element_type=jnp.float32,
@@ -63,7 +65,7 @@ def _ivfpq_search_block(
         # B=256, P=64, m=96 that slab is 1.6 GB in f32, a real OOM risk
         return adc_scan.pallas_adc_topk(
             lut.astype(jnp.bfloat16).reshape(B, nprobe, m, 16, 16),
-            probes, codes, slot_ids, k, fills=fills)
+            probes, codes, slot_ids, k, fills=fills, ids_mode=ids_mode)
 
     lut = lut.reshape(B, nprobe, m, pq.KSUB)                     # [B, P, M, 256]
     code_slab = jnp.take(codes, probes, axis=0)                  # [B, P, M, L]
@@ -124,6 +126,8 @@ class IVFPQIndex:
     replicas: int = 1                 # >1: each row encoded in its top-R lists
     _fills: Optional[jax.Array] = dataclasses.field(
         default=None, repr=False, compare=False)
+    _ids_mode: Optional[str] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @property
     def nlist(self) -> int:
@@ -141,6 +145,17 @@ class IVFPQIndex:
             from nvdb_tpu.kernels.adc_scan import list_fills
             self._fills = list_fills(self.slot_ids)
         return self._fills
+
+    def ids_mode(self) -> str:
+        """Kernel id strategy: 'key' (gen-5 — no slot-id DMA, ids derived
+        from list*lcap+lane) when its preconditions hold (prefix-packed
+        lists + globally unique slot ids), else 'dma'. Checked once on
+        the host and cached."""
+        if self._ids_mode is None:
+            from nvdb_tpu.kernels.adc_scan import is_prefix_packed
+            ok = self.replicas <= 1 and bool(is_prefix_packed(self.slot_ids))
+            self._ids_mode = "key" if ok else "dma"
+        return self._ids_mode
 
     @property
     def index_bytes(self) -> int:
@@ -324,7 +339,10 @@ class IVFPQIndex:
                                    self.m, backend=backend,
                                    dedup=self.replicas,
                                    fills=(self.fills()
-                                          if backend == "pallas" else None))
+                                          if backend == "pallas" else None),
+                                   ids_mode=(self.ids_mode()
+                                             if backend == "pallas"
+                                             else "dma"))
         if refine_k > 0:
             if refine_store is None:
                 raise ValueError("refine_k > 0 requires refine_store")

@@ -153,54 +153,7 @@ def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = False,
             s = s_scr[0:1]                                     # [1, g*L]
             sids = jnp.concatenate(parts_i, axis=1)
 
-        # Slot-buffer merge with count + dynamic extraction (the flat-scan
-        # "extract" strategy, flat_scan.py merge_scr): a fixed k-round sorted
-        # merge per probe made the per-(b,probe) step cost O(k) VPU passes —
-        # 6400 extraction rounds for P=64, refine_k=100, measured ~35 ms of
-        # a 39 ms B=8 ANN batch at 1M. With the unsorted buffer + improver
-        # count, only the FIRST probed list (the coarse-nearest, which seeds
-        # most of the final top-k) pays ~k rounds; later lists pay ~their
-        # improver count (1-3 in steady state).
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, K_LANES), 1)
-        live = lane < k
-        theta0 = jnp.min(jnp.where(live, vals_scr[0:1], POS_INF), axis=1,
-                         keepdims=True)
-        cnt = jnp.sum((s > theta0).astype(jnp.int32))
-        c = jnp.minimum(cnt, k)                              # traced scalar
-
-        def body(_, carry):
-            s_c, vals_c, ids_c = carry
-            mx = jnp.max(s_c, axis=1, keepdims=True)         # [1, 1]
-            idv = jnp.max(jnp.where(s_c == mx, sids, -1), axis=1,
-                          keepdims=True)
-            s_c = jnp.where(sids == idv, NEG_INF, s_c)
-            # replicated indexes: a copy of idv inserted by an EARLIER probe
-            # step may already hold a slot — absorb it (keep the better
-            # score, free its slot) instead of occupying a second slot,
-            # which would evict a genuine candidate and make the final
-            # id-collapsing sort emit -1 filler. idv == -1 (exhausted
-            # round) matches only empty slots: zapping them is a no-op and
-            # keep below is False.
-            dup = ids_c == idv
-            old = jnp.max(jnp.where(dup, vals_c, NEG_INF), axis=1,
-                          keepdims=True)
-            mx = jnp.maximum(mx, old)
-            vals_c = jnp.where(dup, NEG_INF, vals_c)
-            ids_c = jnp.where(dup, -1, ids_c)
-            vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
-                           keepdims=True)
-            keep = mx > vmin
-            slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
-                           axis=1, keepdims=True)
-            do = keep & (lane == slot)
-            vals_c = jnp.where(do, mx, vals_c)
-            ids_c = jnp.where(do, idv, ids_c)
-            return s_c, vals_c, ids_c
-
-        _, vals1, ids1 = jax.lax.fori_loop(
-            0, c, body, (s, vals_scr[0:1], ids_scr[0:1]))
-        vals_scr[0:1] = vals1
-        ids_scr[0:1] = ids1
+        _fold_into_slots(s, sids, vals_scr, ids_scr, k)
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _emit():
@@ -210,6 +163,168 @@ def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = False,
             ids_out[0] = si
 
     return kernel
+
+
+def _fold_into_slots(s, sids, vals_scr, ids_scr, k):
+    """Slot-buffer merge with count + dynamic extraction (the flat-scan
+    "extract" strategy, flat_scan.py merge_scr): a fixed k-round sorted
+    merge per probe made the per-(b,probe) step cost O(k) VPU passes —
+    6400 extraction rounds for P=64, refine_k=100, measured ~35 ms of
+    a 39 ms B=8 ANN batch at 1M. With the unsorted buffer + improver
+    count, only the FIRST probed list (the coarse-nearest, which seeds
+    most of the final top-k) pays ~k rounds; later lists pay ~their
+    improver count (1-3 in steady state)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K_LANES), 1)
+    live = lane < k
+    theta0 = jnp.min(jnp.where(live, vals_scr[0:1], POS_INF), axis=1,
+                     keepdims=True)
+    cnt = jnp.sum((s > theta0).astype(jnp.int32))
+    c = jnp.minimum(cnt, k)                              # traced scalar
+
+    def body(_, carry):
+        s_c, vals_c, ids_c = carry
+        mx = jnp.max(s_c, axis=1, keepdims=True)         # [1, 1]
+        idv = jnp.max(jnp.where(s_c == mx, sids, -1), axis=1,
+                      keepdims=True)
+        s_c = jnp.where(sids == idv, NEG_INF, s_c)
+        # replicated indexes: a copy of idv inserted by an EARLIER probe
+        # step may already hold a slot — absorb it (keep the better
+        # score, free its slot) instead of occupying a second slot,
+        # which would evict a genuine candidate and make the final
+        # id-collapsing sort emit -1 filler. idv == -1 (exhausted
+        # round) matches only empty slots: zapping them is a no-op and
+        # keep below is False.
+        dup = ids_c == idv
+        old = jnp.max(jnp.where(dup, vals_c, NEG_INF), axis=1,
+                      keepdims=True)
+        mx = jnp.maximum(mx, old)
+        vals_c = jnp.where(dup, NEG_INF, vals_c)
+        ids_c = jnp.where(dup, -1, ids_c)
+        vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+                       keepdims=True)
+        keep = mx > vmin
+        slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
+                       axis=1, keepdims=True)
+        do = keep & (lane == slot)
+        vals_c = jnp.where(do, mx, vals_c)
+        ids_c = jnp.where(do, idv, ids_c)
+        return s_c, vals_c, ids_c
+
+    _, vals1, ids1 = jax.lax.fori_loop(
+        0, c, body, (s, vals_scr[0:1], ids_scr[0:1]))
+    vals_scr[0:1] = vals1
+    ids_scr[0:1] = ids1
+
+
+def _make_kernel_keys(k: int, m: int, lcap: int, g: int, nch: int,
+                      total: int):
+    """ADC generation 5: derived slot keys + double-buffered codes DMA.
+
+    Gen-4 profiling bounded scoring at ~1/5 of kernel time at the flagship
+    shape (fill-frac 0.01 floor: 27.7 of 31.4 ms); the residual is per-list
+    DMA issue/wait serialization — 2 copies x B*P lists, issued then waited
+    within the same grid step. This variant removes BOTH costs:
+
+    - **No slot-id DMA.** On a prefix-packed index (every packer emits
+      prefix-packed lists) the live lanes of list ``li`` are exactly
+      ``lane < fill[li]``, so the kernel scores against derived KEYS
+      ``li * lcap + lane`` (2 VPU ops from an iota — no HBM read) and the
+      caller maps the k winning keys back to row ids with one tiny gather.
+      Halves the DMA count. Requires unique rows per list pair — the
+      caller must fall back to the DMA kernel for replicated indexes
+      (keys of two copies of the same row differ, so the merge's duplicate
+      absorption cannot fire).
+    - **Cross-step double buffering.** Step t issues the g copies for step
+      t+1 into buffer (t+1)%2 BEFORE waiting on its own buffer t%2 (per-
+      buffer DMA semaphores), so transfer latency hides under scoring and
+      the scalar core's issue stream overlaps the VPU instead of
+      serializing with it.
+
+    Chunk gating (gen-4 ``nch``) is kept: chunks beyond the fill skip
+    construction+matmul under pl.when."""
+    lc = lcap // nch
+
+    def kernel(probes_ref, fills_ref, lut_ref, codes_hbm,
+               vals_out, ids_out, vals_scr, ids_scr, s_scr,
+               codes_vmem, csem):
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+        t = b * nj + j
+        slot = jax.lax.rem(t, 2)
+
+        def issue(tn):
+            bn = jax.lax.div(tn, nj)
+            jn = jax.lax.rem(tn, nj)
+            sn = jax.lax.rem(tn, 2)
+            for gi in range(g):
+                li = probes_ref[bn, jn * g + gi]
+                pltpu.make_async_copy(
+                    codes_hbm.at[pl.ds(li, 1)],
+                    codes_vmem.at[pl.ds(sn * g + gi, 1)],
+                    csem.at[sn]).start()
+
+        @pl.when(t == 0)
+        def _warm():
+            issue(t)
+
+        @pl.when(t + 1 < total)
+        def _ahead():
+            issue(t + 1)
+
+        for _ in range(g):
+            pltpu.make_async_copy(codes_hbm.at[pl.ds(0, 1)],
+                                  codes_vmem.at[pl.ds(0, 1)],
+                                  csem.at[slot]).wait()
+
+        @pl.when(j == 0)
+        def _init():
+            vals_scr[:] = jnp.full(vals_scr.shape, NEG_INF, dtype=jnp.float32)
+            ids_scr[:] = jnp.full(ids_scr.shape, -1, dtype=jnp.int32)
+
+        s_scr[:] = jnp.full(s_scr.shape, NEG_INF, dtype=jnp.float32)
+        parts_k = []
+        for gi in range(g):
+            li = probes_ref[b, j * g + gi]
+            fill = fills_ref[li]
+            lut3 = lut_ref[0, 0, gi].astype(jnp.bfloat16)    # [M, 16, 16]
+            lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, lcap), 1)
+            parts_k.append(jnp.where(lane_f < fill,
+                                     li * lcap + lane_f, -1))
+            for ci in range(nch):
+                @pl.when(ci * lc < fill)
+                def _score_chunk(gi=gi, ci=ci, lut3=lut3, fill=fill):
+                    cods = codes_vmem[slot * g + gi, :,
+                                      ci * lc:(ci + 1) * lc]
+                    sg = _score_list(cods, lut3, m, lc)      # [1, lc]
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, lc), 1) + ci * lc
+                    s_scr[0:1, gi * lcap + ci * lc:
+                          gi * lcap + (ci + 1) * lc] = jnp.where(
+                              lane < fill, sg, NEG_INF)
+        s = s_scr[0:1]                                       # [1, g*L]
+        sids = jnp.concatenate(parts_k, axis=1)
+
+        _fold_into_slots(s, sids, vals_scr, ids_scr, k)
+
+        @pl.when(j == nj - 1)
+        def _emit():
+            sv, si = _merge_topk_sorted(vals_scr[0:1], ids_scr[0:1], k)
+            vals_out[0] = sv
+            ids_out[0] = si
+
+    return kernel
+
+
+def is_prefix_packed(slot_ids: jax.Array) -> jax.Array:
+    """True iff every list's live slots are exactly a prefix — the
+    contract the gen-5 key kernel's ``lane < fill`` masking relies on.
+    All packers emit prefix-packed lists; this is the cheap runtime
+    guard callers use before selecting ids_mode='key'."""
+    live = slot_ids >= 0
+    fills = list_fills(slot_ids)
+    lane = jnp.arange(slot_ids.shape[1], dtype=jnp.int32)[None, :]
+    return jnp.all(live == (lane < fills[:, None]))
 
 
 def list_fills(slot_ids: jax.Array) -> jax.Array:
@@ -228,7 +343,8 @@ def _auto_chunk(lcap: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "g", "slim", "chunk", "interpret"))
+                   static_argnames=("k", "g", "slim", "chunk", "ids_mode",
+                                    "interpret"))
 def pallas_adc_topk(
     lut: jax.Array,        # [B, P, M, 16, 16] f32 ADC tables (hi, lo split)
     probes: jax.Array,     # [B, P] int32 probed list ids
@@ -239,14 +355,23 @@ def pallas_adc_topk(
     slim: bool = False,    # bf16 intermediates: measured SLOWER, A/B only
     fills: Optional[jax.Array] = None,  # [nlist] int32 (list_fills)
     chunk: Optional[int] = None,  # skip-chunk lanes; 0 = full width; None = auto
+    ids_mode: str = "dma",  # "dma": DMA slot_ids; "key": gen-5 derived keys
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k ADC candidates over each query's probed lists. Scores are
-    negated L2 ADC distances (larger is better). Oracle: pq.adc_scores."""
+    negated L2 ADC distances (larger is better). Oracle: pq.adc_scores.
+
+    ``ids_mode='key'`` (generation 5) requires a PREFIX-PACKED index
+    (``is_prefix_packed``) with globally unique slot ids (replicas == 1);
+    callers must guard. It skips the slot-id DMA (ids derived in-kernel as
+    ``list*lcap + lane`` and remapped here after the call) and
+    double-buffers the codes DMA across grid steps."""
     B, P = probes.shape
     nlist, m, lcap = codes_t.shape
     if k > K_LANES:
         raise ValueError(f"k={k} exceeds the {K_LANES}-lane ADC slot buffer")
+    if ids_mode not in ("dma", "key"):
+        raise ValueError(f"ids_mode must be 'dma' or 'key', got {ids_mode}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if chunk is None:
@@ -255,9 +380,9 @@ def pallas_adc_topk(
         chunk = lcap
     nch = lcap // chunk
     if fills is None:
-        fills = (list_fills(slot_ids) if nch > 1
+        fills = (list_fills(slot_ids) if (nch > 1 or ids_mode == "key")
                  else jnp.zeros((nlist,), jnp.int32))
-    if nch == 1:
+    if nch == 1 and ids_mode == "dma":
         # full-width scan never reads fills; pin them so the cache key of
         # the jitted wrapper doesn't churn on caller-provided variants
         fills = jnp.zeros((nlist,), jnp.int32)
@@ -274,24 +399,60 @@ def pallas_adc_topk(
             [lut, jnp.repeat(lut[:, -1:], pad, axis=1)], axis=1)
         P += pad
 
-    kernel = _make_kernel(k, m, lcap, g, slim, nch)
+    lut_spec = pl.BlockSpec((1, 1, g, m, 16, 16),
+                            lambda b, j, *pr: (b, j, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = [
+        pl.BlockSpec((1, 1, k), lambda b, j, *pr: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, k), lambda b, j, *pr: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 1, k), jnp.float32),
+        jax.ShapeDtypeStruct((B, 1, k), jnp.int32),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary", "arbitrary"))
 
+    if ids_mode == "key":
+        kernel = _make_kernel_keys(k, m, lcap, g, nch, B * (P // g))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, P // g),
+            in_specs=[lut_spec, pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((8, K_LANES), jnp.float32),
+                pltpu.VMEM((8, K_LANES), jnp.int32),
+                pltpu.VMEM((1, g * lcap), jnp.float32),
+                pltpu.VMEM((2 * g, m, lcap), jnp.uint8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=params, interpret=interpret,
+        )(probes.astype(jnp.int32), fills.astype(jnp.int32),
+          lut.reshape(B, P // g, g, m, 16, 16), codes_t)
+        keys = out[1].reshape(B, k)
+        ids = jnp.where(
+            keys >= 0,
+            jnp.take(slot_ids.reshape(-1).astype(jnp.int32),
+                     jnp.clip(keys, 0), axis=0),
+            -1)
+        return out[0].reshape(B, k), ids
+
+    kernel = _make_kernel(k, m, lcap, g, slim, nch)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, P // g),
         in_specs=[
-            pl.BlockSpec((1, 1, g, m, 16, 16),
-                         lambda b, j, *pr: (b, j, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            lut_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, k), lambda b, j, *pr: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, k), lambda b, j, *pr: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((8, K_LANES), jnp.float32),
             pltpu.VMEM((8, K_LANES), jnp.int32),
@@ -303,16 +464,8 @@ def pallas_adc_topk(
         ],
     )
     out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 1, k), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, k), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        compiler_params=params, interpret=interpret,
     )(probes.astype(jnp.int32), fills.astype(jnp.int32),
       lut.reshape(B, P // g, g, m, 16, 16), codes_t,
       slot_ids.reshape(nlist, 1, lcap).astype(jnp.int32))

@@ -129,6 +129,75 @@ def test_pallas_adc_chunk_skip_bit_identical(chunk):
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(ci))
 
 
+@pytest.mark.parametrize("chunk", [32, 128])
+def test_pallas_adc_key_mode_matches_dma(chunk):
+    """Gen-5 key mode (derived slot keys + double-buffered codes DMA) must
+    produce the same candidate sets and scores as the DMA-id path on a
+    prefix-packed index. Scores are bit-identical; within-row order can
+    differ only on exact score ties (key-order vs id-order tie-break), so
+    compare per-row (value, id) multisets."""
+    from nvdb_tpu.kernels import adc_scan
+
+    m, lcap, nlist, k = 16, 128, 8, 10
+    rng = np.random.default_rng(3)
+    fills_spec = [0, 5, chunk, chunk + 3, lcap, 17, 2 * chunk, 1]
+    codes = np.zeros((nlist, m, lcap), np.uint8)
+    slot_ids = np.full((nlist, lcap), -1, np.int32)
+    # non-contiguous global ids: the key->id remap must survive arbitrary
+    # id assignment, not just arange
+    perm = rng.permutation(10 * lcap)
+    nxt = 0
+    for li, f in enumerate(fills_spec):
+        f = min(f, lcap)
+        slot_ids[li, :f] = perm[nxt:nxt + f]
+        nxt += f
+        codes[li, :, :f] = rng.integers(0, 256, (m, f))
+    lut = rng.standard_normal((2, nlist, m, 16, 16)).astype(np.float32) * 0.1
+    probes = np.tile(np.arange(nlist, dtype=np.int32)[None, :], (2, 1))
+    assert bool(adc_scan.is_prefix_packed(jnp.asarray(slot_ids)))
+    args = (jnp.asarray(lut), jnp.asarray(probes), jnp.asarray(codes),
+            jnp.asarray(slot_ids), k)
+    dv, di = adc_scan.pallas_adc_topk(*args, g=4, chunk=chunk,
+                                      ids_mode="dma")
+    kv, ki = adc_scan.pallas_adc_topk(*args, g=4, chunk=chunk,
+                                      ids_mode="key")
+    dv, di = np.asarray(dv), np.asarray(di)
+    kv, ki = np.asarray(kv), np.asarray(ki)
+    for r in range(2):
+        assert sorted(zip(dv[r].tolist(), di[r].tolist())) == \
+            sorted(zip(kv[r].tolist(), ki[r].tolist())), r
+
+
+def test_pallas_adc_key_mode_odd_probe_pad():
+    """Key mode with P % g != 0 exercises the duplicated-probe pad: the
+    duplicate list contributes identical keys, which the merge must absorb
+    into one slot (no -1 filler, unique ids)."""
+    from nvdb_tpu.kernels import adc_scan
+
+    m, lcap, nlist, k = 16, 64, 6, 8
+    rng = np.random.default_rng(4)
+    codes = rng.integers(0, 256, (nlist, m, lcap)).astype(np.uint8)
+    slot_ids = np.arange(nlist * lcap, dtype=np.int32).reshape(nlist, lcap)
+    lut = rng.standard_normal((1, 5, m, 16, 16)).astype(np.float32) * 0.1
+    probes = np.array([[0, 2, 4, 1, 3]], dtype=np.int32)      # P=5, g=4
+    kv, ki = adc_scan.pallas_adc_topk(
+        jnp.asarray(lut), jnp.asarray(probes), jnp.asarray(codes),
+        jnp.asarray(slot_ids), k, g=4, ids_mode="key")
+    ki = np.asarray(ki)[0]
+    assert (ki >= 0).all(), ki
+    assert len(set(ki.tolist())) == k
+
+
+def test_ids_mode_selection():
+    """Index-level guard: 'key' only on prefix-packed replicas<=1 indexes."""
+    from nvdb_tpu.kernels import adc_scan
+
+    sid_packed = jnp.asarray([[0, 1, 2, -1], [3, -1, -1, -1]], jnp.int32)
+    sid_holes = jnp.asarray([[0, -1, 2, -1], [3, -1, -1, -1]], jnp.int32)
+    assert bool(adc_scan.is_prefix_packed(sid_packed))
+    assert not bool(adc_scan.is_prefix_packed(sid_holes))
+
+
 def test_pallas_adc_replicated_ids_share_one_slot():
     """Regression (round-2 review): a replicated row's second copy, probed in
     a LATER grid step, must absorb into the existing slot (keeping the best
