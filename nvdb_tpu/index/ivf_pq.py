@@ -321,9 +321,15 @@ class IVFPQIndex:
 
     def search_device(self, queries: jax.Array, k: int, nprobe: int,
                       refine_k: int = 0, refine_store=None,
-                      backend: str = "auto") -> Tuple[jax.Array, jax.Array]:
+                      backend: str = "auto",
+                      for_refine: bool = False) -> Tuple[jax.Array, jax.Array]:
         """Device-resident path: padded on-device queries in, device arrays out
-        (coarse -> ADC -> optional fused exact refine, one program chain)."""
+        (coarse -> ADC -> optional fused exact refine, one program chain).
+
+        ``for_refine=True`` declares the results are CANDIDATES a separate
+        exact-refine stage will re-score (ivf_eval's staged stage A): the
+        gen-5 packed-key kernel (bf16-granular ranking) is then eligible
+        even though refine_k == 0 here."""
         if backend == "auto":
             from nvdb_tpu.kernels.dispatch import default_backend
             backend = default_backend()
@@ -340,8 +346,14 @@ class IVFPQIndex:
                                    dedup=self.replicas,
                                    fills=(self.fills()
                                           if backend == "pallas" else None),
+                                   # the key kernel's packed merge ranks at
+                                   # bf16 granularity — use it only as a
+                                   # CANDIDATE GENERATOR (refine re-scores
+                                   # in f32); ADC-only searches keep the
+                                   # exact-f32-ranking DMA kernel
                                    ids_mode=(self.ids_mode()
                                              if backend == "pallas"
+                                             and (refine_k > 0 or for_refine)
                                              else "dma"))
         if refine_k > 0:
             if refine_store is None:

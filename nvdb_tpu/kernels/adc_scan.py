@@ -216,29 +216,60 @@ def _fold_into_slots(s, sids, vals_scr, ids_scr, k):
     ids_scr[0:1] = ids1
 
 
+# plain ints: module-level jnp scalars are device arrays, which a pallas
+# kernel closure may not capture ("captures constants" trace error) —
+# as Python ints they fold into the trace as immediates
+IMIN = -2147483648
+KMASK = -65536                                    # 0xFFFF0000
+
+
+def _enc(x):
+    """Monotone f32 -> i32 transform (radix-sort sign fix, 3 select-free
+    ops — flat_scan.py key merge): non-negatives keep their bits,
+    negatives flip their low 31 so the int order equals the float order."""
+    b = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jnp.bitwise_xor(
+        b, jnp.bitwise_and(jnp.right_shift(b, 31), jnp.int32(0x7FFFFFFF)))
+
+
+def _dec(kk):
+    """Invert _enc on a key's score bits; low 16 id bits are zeroed for
+    non-negatives / saturated for negatives first, so the result is the
+    TRUNCATED (bf16-precision) score."""
+    ksd = jnp.where(kk >= 0, jnp.bitwise_and(kk, KMASK),
+                    jnp.bitwise_or(kk, jnp.int32(0xFFFF)))
+    bd = jnp.where(ksd >= 0, ksd,
+                   jnp.bitwise_not(jnp.bitwise_xor(ksd, IMIN)))
+    return jax.lax.bitcast_convert_type(bd, jnp.float32)
+
+
 def _make_kernel_keys(k: int, m: int, lcap: int, g: int, nch: int,
-                      total: int):
+                      total: int, p_orig: int, diag: str = ""):
     """ADC generation 5: derived slot keys + double-buffered codes DMA.
 
     Gen-4 profiling bounded scoring at ~1/5 of kernel time at the flagship
-    shape (fill-frac 0.01 floor: 27.7 of 31.4 ms); the residual is per-list
-    DMA issue/wait serialization — 2 copies x B*P lists, issued then waited
-    within the same grid step. This variant removes BOTH costs:
+    shape (fill-frac 0.01 floor: 27.7 of 31.4 ms); the diag decomposition
+    then split the residual into extraction merge 14.1 ms / DMA+grid+LUT
+    floor 9.9 ms / scoring 3.8 ms. This variant attacks all three:
 
     - **No slot-id DMA.** On a prefix-packed index (every packer emits
       prefix-packed lists) the live lanes of list ``li`` are exactly
-      ``lane < fill[li]``, so the kernel scores against derived KEYS
-      ``li * lcap + lane`` (2 VPU ops from an iota — no HBM read) and the
-      caller maps the k winning keys back to row ids with one tiny gather.
-      Halves the DMA count. Requires unique rows per list pair — the
-      caller must fall back to the DMA kernel for replicated indexes
-      (keys of two copies of the same row differ, so the merge's duplicate
-      absorption cannot fire).
+      ``lane < fill[li]``, so slot ids never enter the kernel: the merge
+      tracks (step, lane) COORDINATES and the caller remaps the k winners
+      to row ids through probes/slot_ids with one tiny gather. Halves the
+      DMA count. Requires unique rows per (list, lane) — the caller must
+      fall back to the DMA kernel for replicated indexes.
     - **Cross-step double buffering.** Step t issues the g copies for step
       t+1 into buffer (t+1)%2 BEFORE waiting on its own buffer t%2 (per-
       buffer DMA semaphores), so transfer latency hides under scoring and
       the scalar core's issue stream overlaps the VPU instead of
       serializing with it.
+    - **Packed extraction merge.** Scores are packed (mono16(score)|lane)
+      into one int32 at chunk-write time; each extraction round is a bare
+      max-reduce + zap (2 full-width passes vs 4), and the winner's id is
+      arithmetic on the max key — no id-select pass, no id vector at all.
+      Ranking precision is bf16 (documented; the bf16 LUT matmul already
+      imposes the same granularity, and refine re-scores in f32).
 
     Chunk gating (gen-4 ``nch``) is kept: chunks beyond the fill skip
     construction+matmul under pl.when."""
@@ -282,30 +313,89 @@ def _make_kernel_keys(k: int, m: int, lcap: int, g: int, nch: int,
             vals_scr[:] = jnp.full(vals_scr.shape, NEG_INF, dtype=jnp.float32)
             ids_scr[:] = jnp.full(ids_scr.shape, -1, dtype=jnp.int32)
 
-        s_scr[:] = jnp.full(s_scr.shape, NEG_INF, dtype=jnp.float32)
-        parts_k = []
+        # ---- packed scoring: s_scr holds (mono16(score) | lane) i32 keys.
+        # The gen-5 diag decomposition put the extraction merge at 14.1 of
+        # 27.8 ms (nomerge 13.6, noscore 9.9 — bench_artifacts/
+        # adc_gen5_diag.txt); packing score+lane into one int32 (the
+        # flat-scan "key" idea) halves each round's full-width passes to
+        # max-reduce + zap, and the winner's id costs ZERO passes: its
+        # coordinate j*W+lane is rebuilt arithmetically from the max key
+        # and remapped to a row id OUTSIDE the kernel via probes/slot_ids.
+        # Ranking precision is bf16 (score truncated to 16 bits) — the
+        # same granularity the bf16 LUT matmul already imposes; refine
+        # re-scores survivors in f32.
+        pad_gate = (p_orig % g != 0)
+        s_scr[:] = jnp.full(s_scr.shape, IMIN, dtype=jnp.int32)
         for gi in range(g):
             li = probes_ref[b, j * g + gi]
             fill = fills_ref[li]
             lut3 = lut_ref[0, 0, gi].astype(jnp.bfloat16)    # [M, 16, 16]
-            lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, lcap), 1)
-            parts_k.append(jnp.where(lane_f < fill,
-                                     li * lcap + lane_f, -1))
+            if diag == "noscore":
+                continue
             for ci in range(nch):
-                @pl.when(ci * lc < fill)
+                # pad columns (duplicated last probe when P % g != 0) are
+                # statically masked: packed coordinates are unique per
+                # (step, lane), so a pad duplicate would occupy a second
+                # slot — unlike the DMA kernel's id-equality absorption
+                cond = (ci * lc < fill)
+                if pad_gate:
+                    cond = cond & (j * g + gi < p_orig)
+
+                @pl.when(cond)
                 def _score_chunk(gi=gi, ci=ci, lut3=lut3, fill=fill):
                     cods = codes_vmem[slot * g + gi, :,
                                       ci * lc:(ci + 1) * lc]
                     sg = _score_list(cods, lut3, m, lc)      # [1, lc]
                     lane = jax.lax.broadcasted_iota(
                         jnp.int32, (1, lc), 1) + ci * lc
+                    keyv = jnp.bitwise_or(
+                        jnp.bitwise_and(_enc(sg), KMASK),
+                        gi * lcap + lane)
                     s_scr[0:1, gi * lcap + ci * lc:
                           gi * lcap + (ci + 1) * lc] = jnp.where(
-                              lane < fill, sg, NEG_INF)
-        s = s_scr[0:1]                                       # [1, g*L]
-        sids = jnp.concatenate(parts_k, axis=1)
+                              lane < fill, keyv, IMIN)
+        e = s_scr[0:1]                                       # [1, W] keys
 
-        _fold_into_slots(s, sids, vals_scr, ids_scr, k)
+        if diag == "nomerge":
+            # diagnostic: consume the keys without the slot-buffer merge
+            # (measures the merge's share of kernel time; results WRONG by
+            # design — reachable only through the explicit diag= argument,
+            # never the serving path)
+            vals_scr[0:1] = jnp.maximum(
+                vals_scr[0:1],
+                _dec(jnp.max(e)) + 0.0 * vals_scr[0:1])
+        else:
+            W = g * lcap
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, K_LANES), 1)
+            live = lane128 < k
+            theta0 = jnp.min(jnp.where(live, vals_scr[0:1], POS_INF),
+                             axis=1, keepdims=True)
+            tkey = jnp.bitwise_or(jnp.bitwise_and(_enc(theta0), KMASK),
+                                  jnp.int32(0xFFFF))
+            cnt = jnp.sum((e > tkey).astype(jnp.int32))
+            c = jnp.minimum(cnt, k)                          # traced scalar
+
+            def body(_, carry):
+                e_c, vals_c, ids_c = carry
+                kmax = jnp.max(e_c, axis=1, keepdims=True)   # [1, 1]
+                e_c = jnp.where(e_c == kmax, IMIN, e_c)
+                mval = _dec(kmax)
+                coord = jnp.bitwise_and(kmax, jnp.int32(0xFFFF)) + j * W
+                vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+                               keepdims=True)
+                ins = (mval > vmin) & (kmax > IMIN)
+                slotl = jnp.max(jnp.where(live & (vals_c == vmin),
+                                          lane128, -1),
+                                axis=1, keepdims=True)
+                do = ins & (lane128 == slotl)
+                vals_c = jnp.where(do, mval, vals_c)
+                ids_c = jnp.where(do, coord, ids_c)
+                return e_c, vals_c, ids_c
+
+            _, v1, i1 = jax.lax.fori_loop(
+                0, c, body, (e, vals_scr[0:1], ids_scr[0:1]))
+            vals_scr[0:1] = v1
+            ids_scr[0:1] = i1
 
         @pl.when(j == nj - 1)
         def _emit():
@@ -344,7 +434,7 @@ def _auto_chunk(lcap: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "g", "slim", "chunk", "ids_mode",
-                                    "interpret"))
+                                    "diag", "interpret"))
 def pallas_adc_topk(
     lut: jax.Array,        # [B, P, M, 16, 16] f32 ADC tables (hi, lo split)
     probes: jax.Array,     # [B, P] int32 probed list ids
@@ -356,6 +446,7 @@ def pallas_adc_topk(
     fills: Optional[jax.Array] = None,  # [nlist] int32 (list_fills)
     chunk: Optional[int] = None,  # skip-chunk lanes; 0 = full width; None = auto
     ids_mode: str = "dma",  # "dma": DMA slot_ids; "key": gen-5 derived keys
+    diag: str = "",        # "nomerge"/"noscore": WRONG-result timing probes
     interpret: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Top-k ADC candidates over each query's probed lists. Scores are
@@ -388,10 +479,12 @@ def pallas_adc_topk(
         fills = jnp.zeros((nlist,), jnp.int32)
 
     g = max(1, min(g, P))
+    p_orig = P
     if P % g != 0:
         # pad the probe axis by repeating the last probe: a duplicated list
-        # contributes duplicate (id, score) pairs, which the extraction
-        # merge collapses by id — results are unchanged
+        # contributes duplicate (id, score) pairs, which the DMA kernel's
+        # extraction merge collapses by id; the key kernel instead masks
+        # the pad columns statically (packed coordinates are unique)
         pad = g - P % g
         probes = jnp.concatenate(
             [probes, jnp.repeat(probes[:, -1:], pad, axis=1)], axis=1)
@@ -415,8 +508,11 @@ def pallas_adc_topk(
     params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"))
 
+    if diag and ids_mode != "key":
+        raise ValueError("diag timing probes exist only for ids_mode='key'")
     if ids_mode == "key":
-        kernel = _make_kernel_keys(k, m, lcap, g, nch, B * (P // g))
+        kernel = _make_kernel_keys(k, m, lcap, g, nch, B * (P // g),
+                                   p_orig, diag)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, P // g),
@@ -425,7 +521,7 @@ def pallas_adc_topk(
             scratch_shapes=[
                 pltpu.VMEM((8, K_LANES), jnp.float32),
                 pltpu.VMEM((8, K_LANES), jnp.int32),
-                pltpu.VMEM((1, g * lcap), jnp.float32),
+                pltpu.VMEM((1, g * lcap), jnp.int32),    # packed keys
                 pltpu.VMEM((2 * g, m, lcap), jnp.uint8),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -435,11 +531,18 @@ def pallas_adc_topk(
             compiler_params=params, interpret=interpret,
         )(probes.astype(jnp.int32), fills.astype(jnp.int32),
           lut.reshape(B, P // g, g, m, 16, 16), codes_t)
+        # coordinates (j*W + w) -> row ids: one [B, k] remap through the
+        # probe table and the flat slot-id array (no in-kernel id DMA)
+        W = g * lcap
         keys = out[1].reshape(B, k)
+        kk_ = jnp.clip(keys, 0)
+        w = kk_ % W
+        p = (kk_ // W) * g + w // lcap
+        li = jnp.take_along_axis(probes.astype(jnp.int32), p, axis=1)
         ids = jnp.where(
             keys >= 0,
             jnp.take(slot_ids.reshape(-1).astype(jnp.int32),
-                     jnp.clip(keys, 0), axis=0),
+                     li * lcap + w % lcap, axis=0),
             -1)
         return out[0].reshape(B, k), ids
 

@@ -242,8 +242,11 @@ def main(argv=None):
 
         def ann_step(block, nprobe=nprobe, kk=kk):
             if is_pq:
+                # for_refine: stage B re-scores these candidates exactly,
+                # so stage A may use the packed-key candidate generator
                 v, i = idx.search_device(jnp.asarray(block), kk, nprobe,
-                                         backend=args.ivf_backend)
+                                         backend=args.ivf_backend,
+                                         for_refine=do_refine)
             else:
                 v, i = idx.search_device(jnp.asarray(block), kk, nprobe)
             return np.asarray(i)[:b]

@@ -39,8 +39,12 @@ def main():
     ap.add_argument("--pairs", type=int, default=10)
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--mode", choices=["slim", "gen4", "gen5"],
+    ap.add_argument("--mode", choices=["slim", "gen4", "gen5", "gen5diag"],
                     default="slim")
+    ap.add_argument("--diag", choices=["nomerge", "noscore"],
+                    default="nomerge",
+                    help="gen5diag: which wrong-result probe to pair "
+                         "against the real gen-5 kernel")
     ap.add_argument("--fill-frac", type=float, default=0.16)
     ap.add_argument("--chunk", type=int, default=256)
     args = ap.parse_args()
@@ -62,7 +66,7 @@ def main():
         k2, (B, P), 0, nlist, dtype=jnp.int32))
     codes = jax.block_until_ready(jax.random.randint(
         k3, (nlist, m, L), 0, 256, dtype=jnp.int32).astype(jnp.uint8))
-    if args.mode in ("gen4", "gen5"):
+    if args.mode in ("gen4", "gen5", "gen5diag"):
         # prefix-packed partial fills: lognormal around fill_frac*L, the
         # shape of a repacked index's probed-list occupancy (BENCHMARKS §4)
         rng = np.random.default_rng(7)
@@ -81,16 +85,24 @@ def main():
             jnp.arange(L, dtype=jnp.int32)[None], (nlist, 1)))
         fills = None
 
-    def make(slim=False, chunk=None, ids_mode="dma"):
+    def make(slim=False, chunk=None, ids_mode="dma", diag=""):
         def run(lut, probes, codes, slot_ids):
             return pallas_adc_topk(lut, probes, codes, slot_ids, args.k,
                                    g=args.g, slim=slim, chunk=chunk,
-                                   fills=fills, ids_mode=ids_mode)
+                                   fills=fills, ids_mode=ids_mode,
+                                   diag=diag)
         j = jax.jit(run, static_argnums=())
         return lambda: j(lut, probes, codes, slot_ids)
 
     if args.mode == "gen4":
         arms = {"full": make(chunk=L), "chunked": make(chunk=args.chunk)}
+    elif args.mode == "gen5diag":
+        # time decomposition: base-vs-nomerge = merge share (rounds +
+        # fixed), base-vs-noscore = scoring+rounds share. id match is
+        # meaningless here (the diag arm is wrong by design).
+        arms = {"gen5": make(chunk=args.chunk, ids_mode="key"),
+                args.diag: make(chunk=args.chunk, ids_mode="key",
+                                diag=args.diag)}
     elif args.mode == "gen5":
         # gen-4 (chunked, DMA'd ids) vs gen-5 (chunked, derived keys +
         # double-buffered codes DMA) — the per-list-overhead attack

@@ -155,19 +155,22 @@ def main():
            and np.array_equal(np.asarray(fi), np.asarray(ci)))
     ok("adc_chunk_skip", bit, f"lcap={lc} chunk={ch}")
 
-    # gen-5 key mode: derived keys + double-buffered codes DMA. Same
-    # (value, id) multisets per row as the DMA-id path (order may differ
-    # only on exact score ties). Exercises: dynamic-slot scratch reads,
-    # DMA semaphore arrays, cross-step prefetch — none checkable off-TPU.
+    # gen-5 key mode: packed score|lane keys + double-buffered codes DMA.
+    # Candidates match the DMA-id path modulo bf16-truncated ranking near
+    # 16-bit score collisions; values agree to the truncation. Exercises:
+    # dynamic-slot scratch reads, DMA semaphore arrays, cross-step
+    # prefetch, packed extraction — none checkable off-TPU.
     kv2, ki2 = adc_scan.pallas_adc_topk(lut, probes, pqi.codes,
                                         pqi.slot_ids, k, g=4, chunk=ch,
                                         fills=pqi.fills(), ids_mode="key")
-    same = all(
-        sorted(zip(np.asarray(cv)[r].tolist(), np.asarray(ci)[r].tolist()))
-        == sorted(zip(np.asarray(kv2)[r].tolist(),
-                      np.asarray(ki2)[r].tolist()))
-        for r in range(B))
-    ok("adc_key_mode", same, f"ids_mode=key lcap={lc} chunk={ch}")
+    kv2, ki2 = np.asarray(kv2), np.asarray(ki2)
+    ovl = np.mean([len(set(np.asarray(ci)[r].tolist())
+                       & set(ki2[r].tolist())) / k for r in range(B)])
+    uniq = all(len(set(ki2[r].tolist())) == k and (ki2[r] >= 0).all()
+               for r in range(B))
+    close = np.allclose(kv2, np.asarray(cv), rtol=1e-2, atol=1e-2)
+    ok("adc_key_mode", ovl >= 0.9 and uniq and close,
+       f"ids_mode=key overlap={ovl:.3f} lcap={lc} chunk={ch}")
 
     # refine must convert candidate coverage into recall (recall ==
     # cand_recall is the invariant ivf_eval checks; absolute recall here is

