@@ -153,3 +153,51 @@ def build_ground_truth(
         _, ids = idx.search(queries[s : s + batch], k)
         out.append(ids)
     return np.concatenate(out, axis=0).astype(np.uint32)
+
+
+def build_ground_truth_chunked(
+    path: str, queries: np.ndarray, k: int, batch: int = 256,
+    row_chunk: int = 1_000_000,
+) -> np.ndarray:
+    """Exact f32 GT for a corpus LARGER than device HBM: stream row chunks
+    (mmap slice -> device), exact-scan each against all query batches with
+    HIGHEST-precision f32 matmuls, and k-merge the per-chunk winners on the
+    host. Same result as the resident path, peak device memory = one
+    chunk. (The reference's gt_build streams the file once on the CPU the
+    same way, nvdb_gt_build.cpp:74-127.)"""
+    from nvdb_tpu.formats import vecbin
+    from nvdb_tpu.kernels import ops
+    from nvdb_tpu.utils import round_up
+
+    f = vecbin.VecbinFile(path)
+    Q, d = queries.shape
+    dp = round_up(d, 128)
+    qpad = np.zeros((Q, dp), np.float32)
+    qpad[:, :d] = queries
+    qdev = jnp.asarray(qpad)
+
+    all_v: list[np.ndarray] = []
+    all_i: list[np.ndarray] = []
+    for c0 in range(0, f.count, row_chunk):
+        c1 = min(c0 + row_chunk, f.count)
+        rows = f.rows_f32(c0, c1)
+        n = c1 - c0
+        npad = round_up(n, 1024)
+        block = np.zeros((npad, dp), np.float32)
+        block[:n, :d] = rows
+        del rows
+        dev = jnp.asarray(block)
+        del block
+        cv = np.empty((Q, k), np.float32)
+        ci = np.empty((Q, k), np.int64)
+        for s in range(0, Q, batch):
+            v, i = ops.scan_topk(qdev[s:s + batch], dev, None, n, k)
+            cv[s:s + batch] = np.asarray(v)
+            ci[s:s + batch] = np.asarray(i).astype(np.int64) + c0
+        all_v.append(cv)
+        all_i.append(ci)
+        del dev
+    vs = np.concatenate(all_v, axis=1)               # [Q, n_chunks*k]
+    isel = np.concatenate(all_i, axis=1)
+    order = np.argsort(-vs, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(isel, order, axis=1).astype(np.uint32)

@@ -21,6 +21,11 @@ def main(argv=None):
                    default=config.EvalConfig.from_env().gt_host,
                    help="build GT with the native C++ host scan instead of the "
                         "device (independent oracle; GT_MODE=host analogue)")
+    p.add_argument("--row-chunk", type=int, default=0,
+                   help="stream the base in row chunks of this size (exact "
+                        "chunked device scan + host k-merge) — for corpora "
+                        "larger than HBM. 0 = auto: chunk when the f32 "
+                        "working set exceeds ~12 GB")
     args = p.parse_args(argv)
 
     bf = vecbin.VecbinFile(args.base)
@@ -33,12 +38,24 @@ def main(argv=None):
     else:
         setup_jax(args)
 
-        from nvdb_tpu.index.flat import build_ground_truth
-        from nvdb_tpu.store import VectorStore
+        f32_bytes = bf.count * bf.dim * 4
+        row_chunk = args.row_chunk
+        if row_chunk == 0 and f32_bytes > 12 * 1024**3:
+            row_chunk = 1_000_000
+        if row_chunk > 0:
+            from nvdb_tpu.index.flat import build_ground_truth_chunked
 
-        store = VectorStore.from_vecbin(args.base)
-        ids = build_ground_truth(store, qf.rows_f32(), args.k, batch=args.batch,
-                                 backend=args.backend)
+            ids = build_ground_truth_chunked(args.base, qf.rows_f32(),
+                                             args.k, batch=args.batch,
+                                             row_chunk=row_chunk)
+        else:
+            from nvdb_tpu.index.flat import build_ground_truth
+            from nvdb_tpu.store import VectorStore
+
+            store = VectorStore.from_vecbin(args.base)
+            ids = build_ground_truth(store, qf.rows_f32(), args.k,
+                                     batch=args.batch,
+                                     backend=args.backend)
     dt = time.perf_counter() - t0
     gtbin.write_gtbin(args.out, ids, dim=bf.dim, N=bf.count)
     print(f"wrote GT [{qf.count} x {args.k}] over N={bf.count} in {dt:.2f}s "

@@ -201,3 +201,25 @@ def test_hard_corpus_chunked_consistent():
     same = np.mean((a @ b.T).max(axis=1))
     diff = np.mean((a @ c.T).max(axis=1))
     assert same > diff + 0.03, (same, diff)
+
+
+def test_gt_build_chunked_matches_resident(tmp_path):
+    """The chunked exact-GT path (for corpora larger than HBM) must produce
+    the same ids as the resident scan, including across chunk boundaries."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nvdb_tpu.formats import vecbin
+    from nvdb_tpu.index.flat import build_ground_truth_chunked
+    from nvdb_tpu.kernels import ops
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((3000, 64)).astype(np.float32)
+    path = str(tmp_path / "b.vecbin")
+    vecbin.write_vecbin(path, base)
+    q = base[:16] + 0.01 * rng.standard_normal((16, 64)).astype(np.float32)
+
+    ids_c = build_ground_truth_chunked(path, q, 10, batch=8, row_chunk=1100)
+    qp = np.zeros((16, 128), np.float32); qp[:, :64] = q
+    bp = np.zeros((3072, 128), np.float32); bp[:3000, :64] = base
+    _, ids_r = ops.scan_topk(jnp.asarray(qp), jnp.asarray(bp), None, 3000, 10)
+    np.testing.assert_array_equal(ids_c, np.asarray(ids_r).astype(np.uint32))
