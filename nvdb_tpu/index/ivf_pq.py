@@ -205,7 +205,8 @@ class IVFPQIndex:
             key, ko = jax.random.split(key)
             rot_np, _ = pq.train_opq(ko, data_p[:t], m, n_opq_iters=opq_iters)
             rot = jnp.asarray(rot_np)
-            data_rot = np.asarray(jnp.asarray(data_p) @ rot)
+            data_rot = _host_chunked(lambda x: x @ rot, data_p)
+            del data_p
         else:
             data_rot = data_p
 
@@ -215,7 +216,8 @@ class IVFPQIndex:
                                      n_iters=n_iters)
 
         S = min(spill_candidates, nlist)
-        alts = np.asarray(_topS_centroids(jnp.asarray(data_rot), cents, S))
+        alts = _host_chunked(lambda x: _topS_centroids(x, cents, S),
+                             data_rot)
         # 128: Lcap is the LANE dim of the transposed code layout (adc kernel)
         lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 128)
 
@@ -229,14 +231,19 @@ class IVFPQIndex:
         list_of = np.empty(n, np.int64)
         li, si = np.nonzero(slot_ids >= 0)
         list_of[slot_ids[li, si]] = li
-        residuals = data_rot - cents_np[list_of]
+        # in-place chunked subtraction: at 8M rows the fancy-index temp
+        # cents_np[list_of] alone is 24.6 GB
+        for s in range(0, n, 1_000_000):
+            data_rot[s:s + 1_000_000] -= cents_np[list_of[s:s + 1_000_000]]
+        residuals = data_rot
 
         tcb = min(n, cb_train_size or 262144)
         key, kb = jax.random.split(key)
         cb = pq.train_codebooks(kb, jnp.asarray(residuals[:tcb]), m,
                                 n_iters=cb_iters)
 
-        codes_rows = np.asarray(_encode_chunked(jnp.asarray(residuals), cb, m))
+        codes_rows = _host_chunked(
+            lambda x: _encode_chunked(x, cb, m), residuals)
         codes = np.zeros((nlist, m, lcap), np.uint8)
         codes[li, :, si] = codes_rows[slot_ids[li, si]]
 
@@ -275,14 +282,16 @@ class IVFPQIndex:
         data_p = np.zeros((n, dp), np.float32)
         data_p[:, :d] = rows_f32
         if idx.rotation is not None:
-            data_rot = np.asarray(jnp.asarray(data_p) @ idx.rotation)
+            rot = idx.rotation
+            data_rot = _host_chunked(lambda x: x @ rot, data_p)
+            del data_p
         else:
             data_rot = data_p
 
         R = max(1, min(replicas, nlist))
         S = min(max(spill_candidates, R), nlist)
-        alts = np.asarray(_topS_centroids(jnp.asarray(data_rot),
-                                          idx.centroids, S))
+        alts = _host_chunked(
+            lambda x: _topS_centroids(x, idx.centroids, S), data_rot)
         # virtual rows: copy r of row i prefers the (r+1)-th nearest list
         if R > 1:
             alts_v = np.concatenate(
@@ -304,10 +313,14 @@ class IVFPQIndex:
         vids = slot_vids[li, si]
         rids = vids % n
         order = np.argsort(vids)  # encode rows in virtual-id order
-        residuals = data_rot[rids[order]] - cents_np[li[order]]
+        ro, lo = rids[order], li[order]
+        residuals = np.empty((ro.shape[0], data_rot.shape[1]), np.float32)
+        for s in range(0, ro.shape[0], 1_000_000):
+            e = s + 1_000_000
+            residuals[s:e] = data_rot[ro[s:e]] - cents_np[lo[s:e]]
 
-        codes_rows = np.asarray(
-            _encode_chunked(jnp.asarray(residuals), idx.codebooks, m))
+        codes_rows = _host_chunked(
+            lambda x: _encode_chunked(x, idx.codebooks, m), residuals)
         codes = np.zeros((nlist, m, lcap), np.uint8)
         codes[li[order], :, si[order]] = codes_rows
         slot_ids = np.where(slot_vids >= 0, slot_vids % n, -1).astype(np.int32)
@@ -436,6 +449,18 @@ class IVFPQIndex:
             slot_ids=jnp.asarray(z["slot_ids"]),
             n=n, d=d, m=m, n_spilled=spilled,
             replicas=meta[5] if len(meta) > 5 else 1)
+
+
+def _host_chunked(fn, rows_np: np.ndarray,
+                  chunk: int = 1_000_000) -> np.ndarray:
+    """Apply a device function over host rows in chunks and reassemble on
+    the host — build-time scalability seam: an 8M x 768 f32 corpus is
+    24.6 GB, larger than HBM, so whole-corpus uploads OOM. One chunk
+    (<= ~3 GB) is resident at a time."""
+    outs = []
+    for s in range(0, rows_np.shape[0], chunk):
+        outs.append(np.asarray(fn(jnp.asarray(rows_np[s:s + chunk]))))
+    return np.concatenate(outs, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
