@@ -192,6 +192,28 @@ def test_pallas_adc_key_mode_odd_probe_pad():
     assert len(set(ki.tolist())) == k
 
 
+def test_pallas_adc_key_mode_scarce_candidates():
+    """Fewer live candidates than k (mostly-empty lists): key mode must
+    emit the real candidates first and -1 filler after, never a garbage
+    coordinate from a padding lane."""
+    from nvdb_tpu.kernels import adc_scan
+
+    m, lcap, nlist, k = 16, 64, 4, 10
+    rng = np.random.default_rng(5)
+    codes = np.zeros((nlist, m, lcap), np.uint8)
+    slot_ids = np.full((nlist, lcap), -1, np.int32)
+    slot_ids[1, :3] = [7, 8, 9]          # only 3 live rows in the corpus
+    codes[1, :, :3] = rng.integers(0, 256, (m, 3))
+    lut = rng.standard_normal((1, nlist, m, 16, 16)).astype(np.float32) * 0.1
+    probes = np.arange(nlist, dtype=np.int32)[None, :]
+    kv, ki = adc_scan.pallas_adc_topk(
+        jnp.asarray(lut), jnp.asarray(probes), jnp.asarray(codes),
+        jnp.asarray(slot_ids), k, g=4, ids_mode="key")
+    ki = np.asarray(ki)[0]
+    assert set(ki[:3].tolist()) == {7, 8, 9}, ki
+    assert (ki[3:] == -1).all(), ki
+
+
 def test_ids_mode_selection():
     """Index-level guard: 'key' only on prefix-packed replicas<=1 indexes."""
     from nvdb_tpu.kernels import adc_scan
