@@ -203,7 +203,13 @@ class IVFPQIndex:
         rot = None
         if use_opq:
             key, ko = jax.random.split(key)
-            rot_np, _ = pq.train_opq(ko, data_p[:t], m, n_opq_iters=opq_iters)
+            # OPQ's [M, T, dsub] subspace views tile dsub (e.g. 8) up to the
+            # 128-lane TPU layout — a 16x memory blow-up, 49 GB at T=1M.
+            # Rotation quality saturates far below coarse-quantizer train
+            # sizes anyway; cap independently of --train.
+            t_opq = min(t, 131072)
+            rot_np, _ = pq.train_opq(ko, data_p[:t_opq], m,
+                                     n_opq_iters=opq_iters)
             rot = jnp.asarray(rot_np)
             data_rot = _host_chunked(lambda x: x @ rot, data_p)
             del data_p
