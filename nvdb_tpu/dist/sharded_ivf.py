@@ -355,10 +355,17 @@ class ShardedIVFPQIndex:
 
     def search_device(self, queries: jax.Array, k: int, nprobe: int,
                       refine_k: int = 0, refine_store=None,
-                      backend: str = "jnp") -> Tuple[jax.Array, jax.Array]:
+                      backend: str = "jnp",
+                      for_refine: bool = False) -> Tuple[jax.Array, jax.Array]:
         """``nprobe`` = TOTAL probes across shards. Candidates are ADC-merged
         across shards; optional exact refine runs on the merged ids against
-        the (single-device) flat store."""
+        the (single-device) flat store.
+
+        ``for_refine`` exists for interface parity with
+        ``IVFPQIndex.search_device`` (ivf_eval's staged stage A passes it):
+        the per-shard scan here runs the jnp ADC path, which ranks in exact
+        f32 already, so the flag is accepted and has no effect."""
+        del for_refine
         S = self.mesh.shape[meshmod.ROWS]
         per_shard = max(1, min(cdiv(nprobe, S), self.nlist // S))
         if refine_k > 0:
