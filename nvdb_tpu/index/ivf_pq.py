@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -194,7 +196,9 @@ class IVFPQIndex:
         dp = round_up(d, 128)
         assert dp % m == 0, f"m={m} must divide padded dim {dp}"
         key = jax.random.PRNGKey(seed)
+        stage = _stage_logger(n)
 
+        stage("pad corpus")
         data_p = np.zeros((n, dp), np.float32)
         data_p[:, :d] = rows_f32
         t = min(train_size, n)
@@ -208,19 +212,26 @@ class IVFPQIndex:
             # Rotation quality saturates far below coarse-quantizer train
             # sizes anyway; cap independently of --train.
             t_opq = min(t, 131072)
+            stage(f"train OPQ rotation (t={t_opq})")
             rot_np, _ = pq.train_opq(ko, data_p[:t_opq], m,
                                      n_opq_iters=opq_iters)
             rot = jnp.asarray(rot_np)
-            data_rot = _host_chunked(lambda x: x @ rot, data_p)
-            del data_p
+            stage("apply rotation")
+            if n >= _HOST_BUILD_ROWS:
+                data_rot = _rotate_inplace_host(data_p, rot_np)
+            else:
+                data_rot = _host_chunked(lambda x: x @ rot, data_p)
+                del data_p
         else:
             data_rot = data_p
 
         # coarse quantizer in rotated space
+        stage(f"k-means coarse quantizer (t={t}, nlist={nlist})")
         key, kc = jax.random.split(key)
         cents, _ = kmeans.kmeans_fit(kc, jnp.asarray(data_rot[:t]), nlist,
                                      n_iters=n_iters)
 
+        stage("coarse assignment (top-S centroids, device-chunked)")
         S = min(spill_candidates, nlist)
         alts = _host_chunked(lambda x: _topS_centroids(x, cents, S),
                              data_rot)
@@ -228,6 +239,7 @@ class IVFPQIndex:
         lcap = round_up(int(np.ceil(n / nlist * pad_factor)), 128)
 
         # pack ROW IDS first (codes depend on the packed list's centroid)
+        stage(f"pack lists (lcap={lcap})")
         dummy = np.zeros((n, 1), np.float32)
         _, slot_ids, _, spilled = _pack_lists(
             dummy, None, alts[:, 0], None, alts, nlist, lcap, 1)
@@ -239,20 +251,28 @@ class IVFPQIndex:
         list_of[slot_ids[li, si]] = li
         # in-place chunked subtraction: at 8M rows the fancy-index temp
         # cents_np[list_of] alone is 24.6 GB
+        stage("residual subtraction")
         for s in range(0, n, 1_000_000):
             data_rot[s:s + 1_000_000] -= cents_np[list_of[s:s + 1_000_000]]
         residuals = data_rot
 
         tcb = min(n, cb_train_size or 262144)
+        stage(f"train PQ codebooks (t={tcb})")
         key, kb = jax.random.split(key)
         cb = pq.train_codebooks(kb, jnp.asarray(residuals[:tcb]), m,
                                 n_iters=cb_iters)
 
-        codes_rows = _host_chunked(
-            lambda x: _encode_chunked(x, cb, m), residuals)
+        stage("PQ encode")
+        if n >= _HOST_BUILD_ROWS:
+            codes_rows = _encode_host(residuals, np.asarray(cb), m)
+        else:
+            codes_rows = _host_chunked(
+                lambda x: _encode_chunked(x, cb, m), residuals)
+        stage("scatter codes into list slabs")
         codes = np.zeros((nlist, m, lcap), np.uint8)
         codes[li, :, si] = codes_rows[slot_ids[li, si]]
 
+        stage("upload index arrays")
         return cls(rotation=rot, centroids=cents, codebooks=cb,
                    codes=jnp.asarray(codes), slot_ids=jnp.asarray(slot_ids),
                    n=n, d=d, m=m, n_spilled=spilled)
@@ -285,17 +305,24 @@ class IVFPQIndex:
         nlist = idx.nlist
         dp = idx.centroids.shape[1]
         m = idx.m
+        stage = _stage_logger(n)
+        stage("pad corpus")
         data_p = np.zeros((n, dp), np.float32)
         data_p[:, :d] = rows_f32
         if idx.rotation is not None:
+            stage("apply rotation")
             rot = idx.rotation
-            data_rot = _host_chunked(lambda x: x @ rot, data_p)
-            del data_p
+            if n >= _HOST_BUILD_ROWS:
+                data_rot = _rotate_inplace_host(data_p, np.asarray(rot))
+            else:
+                data_rot = _host_chunked(lambda x: x @ rot, data_p)
+                del data_p
         else:
             data_rot = data_p
 
         R = max(1, min(replicas, nlist))
         S = min(max(spill_candidates, R), nlist)
+        stage("coarse assignment (top-S centroids, device-chunked)")
         alts = _host_chunked(
             lambda x: _topS_centroids(x, idx.centroids, S), data_rot)
         # virtual rows: copy r of row i prefers the (r+1)-th nearest list
@@ -309,6 +336,7 @@ class IVFPQIndex:
         n_v = n * R
         lcap = round_up(int(np.ceil(n_v / nlist * pad_factor)), 128)
 
+        stage(f"pack lists (lcap={lcap}, replicas={R})")
         dummy = np.zeros((n_v, 1), np.float32)
         _, slot_vids, _, spilled = _pack_lists(
             dummy, None, alts_v[:, 0], None, alts_v, nlist, lcap, 1)
@@ -320,16 +348,23 @@ class IVFPQIndex:
         rids = vids % n
         order = np.argsort(vids)  # encode rows in virtual-id order
         ro, lo = rids[order], li[order]
+        stage("residual gather/subtract")
         residuals = np.empty((ro.shape[0], data_rot.shape[1]), np.float32)
         for s in range(0, ro.shape[0], 1_000_000):
             e = s + 1_000_000
             residuals[s:e] = data_rot[ro[s:e]] - cents_np[lo[s:e]]
 
-        codes_rows = _host_chunked(
-            lambda x: _encode_chunked(x, idx.codebooks, m), residuals)
+        stage("PQ encode")
+        if residuals.shape[0] >= _HOST_BUILD_ROWS:
+            codes_rows = _encode_host(residuals, np.asarray(idx.codebooks), m)
+        else:
+            codes_rows = _host_chunked(
+                lambda x: _encode_chunked(x, idx.codebooks, m), residuals)
+        stage("scatter codes into list slabs")
         codes = np.zeros((nlist, m, lcap), np.uint8)
         codes[li[order], :, si[order]] = codes_rows
         slot_ids = np.where(slot_vids >= 0, slot_vids % n, -1).astype(np.int32)
+        stage("upload index arrays")
 
         return cls(rotation=idx.rotation, centroids=idx.centroids,
                    codebooks=idx.codebooks, codes=jnp.asarray(codes),
@@ -457,6 +492,20 @@ class IVFPQIndex:
             replicas=meta[5] if len(meta) > 5 else 1)
 
 
+def _stage_logger(n: int):
+    """Stage-timestamp prints (stderr) for corpus-scale builds: a 10M-row
+    build runs tens of minutes across host/device stages with no other
+    output — opaque without this. Small builds (tests) stay silent."""
+    if n < _HOST_BUILD_ROWS:
+        return lambda msg: None
+    t0 = time.perf_counter()
+
+    def log(msg):
+        print(f"[build +{time.perf_counter() - t0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+    return log
+
+
 def _host_chunked(fn, rows_np: np.ndarray,
                   chunk: int = 1_000_000) -> np.ndarray:
     """Apply a device function over host rows in chunks and reassemble on
@@ -467,6 +516,44 @@ def _host_chunked(fn, rows_np: np.ndarray,
     for s in range(0, rows_np.shape[0], chunk):
         outs.append(np.asarray(fn(jnp.asarray(rows_np[s:s + chunk]))))
     return np.concatenate(outs, axis=0)
+
+
+# Above this row count, build stages whose OUTPUT is corpus-sized run on the
+# host (BLAS matmul / argmin) instead of round-tripping the device: through
+# the axon relay, device->host streams at single-digit MB/s with multi-minute
+# stalls, so a 10M x 768 rotated copy (30 GB down) would dominate the whole
+# build. The device keeps the stages where compute scales with N * nlist and
+# the download is tiny (coarse assignment via _topS_centroids: [N, S] ids).
+_HOST_BUILD_ROWS = 2_000_000
+
+
+def _rotate_inplace_host(data_p: np.ndarray, rot_np: np.ndarray,
+                         chunk: int = 1_000_000) -> np.ndarray:
+    """data_p @ rot, chunked in place on the host (BLAS): ~12 TFLOP at
+    10M x 768 — minutes of CPU vs hours of relay D2H for the same copy."""
+    rot_np = np.asarray(rot_np, np.float32)
+    for s in range(0, data_p.shape[0], chunk):
+        data_p[s:s + chunk] = data_p[s:s + chunk] @ rot_np
+    return data_p
+
+
+def _encode_host(residuals: np.ndarray, cb_np: np.ndarray, m: int,
+                 chunk: int = 262_144) -> np.ndarray:
+    """Host PQ encode: per-subspace argmin over 256 centers, matching
+    kernels/pq.encode (argmin L2, first-occurrence ties). The [N, M] uint8
+    output stays on the host — no corpus-sized D2H."""
+    cb_np = np.asarray(cb_np, np.float32)          # [M, 256, dsub]
+    dsub = cb_np.shape[2]
+    half_norms = 0.5 * np.sum(cb_np * cb_np, axis=2)   # [M, 256]
+    out = np.empty((residuals.shape[0], m), np.uint8)
+    for s in range(0, residuals.shape[0], chunk):
+        x = residuals[s:s + chunk]
+        for j in range(m):
+            xj = x[:, j * dsub:(j + 1) * dsub]
+            # argmin ||x - c||^2 == argmax (x.c - ||c||^2/2)
+            out[s:s + chunk, j] = np.argmax(
+                xj @ cb_np[j].T - half_norms[j], axis=1).astype(np.uint8)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("m",))

@@ -223,3 +223,28 @@ def test_ivfpq_replicated_save_load(tmp_path):
     v1, i1 = two.search(q, 5, nprobe=4)
     v2, i2 = back.search(q, 5, nprobe=4)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_host_build_paths_match_device():
+    """The >=_HOST_BUILD_ROWS build stages (host BLAS rotation, host PQ
+    encode) must agree with the device paths they replace — the threshold
+    means large builds take them, so pin the parity here on small data."""
+    from nvdb_tpu.index.ivf_pq import (_encode_chunked, _encode_host,
+                                       _host_chunked, _rotate_inplace_host)
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((513, 64)).astype(np.float32)
+
+    # rotation: host in-place chunked matmul vs device chunked matmul
+    q_mat, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    rot = q_mat.astype(np.float32)
+    dev = _host_chunked(lambda c: c @ jnp.asarray(rot), x, chunk=128)
+    host = _rotate_inplace_host(x.copy(), rot, chunk=128)
+    np.testing.assert_allclose(host, dev, atol=2e-5)
+
+    # encode: host argmin vs kernels/pq.encode
+    m = 8
+    cb = jnp.asarray(rng.standard_normal((m, 256, 64 // m)).astype(np.float32))
+    dev_codes = np.asarray(_encode_chunked(jnp.asarray(x), cb, m))
+    host_codes = _encode_host(x, np.asarray(cb), m, chunk=100)
+    assert (dev_codes == host_codes).mean() > 0.999  # f32 assoc ties only
