@@ -101,7 +101,7 @@ def hard(count: int, dim: int, intrinsic: int = 48, topics: int = 256,
     brng = np.random.default_rng(seed)  # basis shared across chunks
     basis, _ = np.linalg.qr(brng.standard_normal((dim, intrinsic)))
     x = z @ basis.T.astype(np.float32)
-    x += 0.02 * rng.standard_normal((count, dim)).astype(np.float32)
+    x += 0.02 * rng.standard_normal((count, dim), dtype=np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     return x.astype(dtype)
 
