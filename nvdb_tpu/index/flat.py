@@ -87,11 +87,10 @@ class FlatIndex:
                         query_scales=qs)
                     if refine_k:
                         # exact i8 mode: re-score the i8 x i8 candidates
-                        # with the f32 queries (dot metric), fused
-                        from nvdb_tpu.kernels.rerank import pallas_rerank
-
-                        v, i = pallas_rerank(queries, i, vectors, scales,
-                                             k, metric="dot")
+                        # with the f32 queries (dot metric), fused; backend
+                        # picked from the measured size crossover
+                        v, i = dispatch.exact_refine(queries, i, vectors,
+                                                     scales, k, metric="dot")
                     return v, i
             elif has_scales:
                 def run(queries, vectors, scales):

@@ -113,10 +113,8 @@ def main(argv=None):
                 v, i = dispatch.flat_topk(q8, vectors, scales, n_valid, kk,
                                           backend=backend, query_scales=qs)
                 if refine_k:
-                    from nvdb_tpu.kernels.rerank import pallas_rerank
-
-                    v, i = pallas_rerank(block, i, vectors, scales, k_,
-                                         metric="dot")
+                    v, i = dispatch.exact_refine(block, i, vectors, scales,
+                                                 k_, metric="dot")
                 return v, i
             return dispatch.flat_topk(block, vectors, scales, n_valid, k_,
                                       backend=backend)
