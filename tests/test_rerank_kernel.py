@@ -136,3 +136,34 @@ def test_exact_i8_mode_recovers_f32_query_ranking():
     # the rerank moves the ranking onto the f32-query oracle (the raw qi8
     # path is visibly off on this worst-case iid-gaussian corpus)
     assert m_fast >= 0.95 and m_raw < m_fast, (m_fast, m_raw)
+
+
+def test_exact_refine_seam_backends_agree(monkeypatch):
+    """dispatch.exact_refine — the single routed refine seam (flat exact-i8
+    mode, bench --refine-k, IVF stage B) — must agree with the oracle on
+    both backends and honor NVDB_REFINE_BACKEND."""
+    from nvdb_tpu.kernels import dispatch
+
+    rng = np.random.default_rng(3)
+    N, D, B, R, k = 2048, 128, 6, 40, 10
+    base = rng.standard_normal((N, D), dtype=np.float32)
+    q = rng.standard_normal((B, D), dtype=np.float32)
+    cand = np.stack([rng.choice(N, R, replace=False) for _ in range(B)]
+                    ).astype(np.int32)
+    cand[1, 25:] = -1
+
+    ref_v, ref_i = ops.exact_rerank(jnp.asarray(q), _gathered(base, cand),
+                                    jnp.asarray(cand), k, metric="dot")
+    for backend in ("jnp", "pallas"):
+        v, i = dispatch.exact_refine(jnp.asarray(q), jnp.asarray(cand),
+                                     jnp.asarray(base), None, k,
+                                     metric="dot", backend=backend)
+        assert np.mean(np.asarray(i) == np.asarray(ref_i)) == 1.0, backend
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ref_v),
+                                   rtol=1e-4, atol=1e-4)
+
+    # env override wins over the measured crossover
+    monkeypatch.setenv("NVDB_REFINE_BACKEND", "jnp")
+    assert dispatch.refine_backend(1, 1) == "jnp"
+    monkeypatch.setenv("NVDB_REFINE_BACKEND", "pallas")
+    assert dispatch.refine_backend(10**6, 10**3) == "pallas"
