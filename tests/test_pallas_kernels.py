@@ -122,3 +122,21 @@ def test_pallas_i8_quantized_queries(data):
                            query_scales=jnp.asarray(qs))
     np.testing.assert_allclose(np.asarray(pv), np.asarray(jv), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(ji))
+
+
+def test_dispatch_split_batch_matches_oracle(data, monkeypatch):
+    """dispatch.flat_topk splits B > _MAX_KERNEL_BATCH into chained kernel
+    calls (the large-B monotone-QPS policy); the concatenated halves must
+    equal the single-call oracle."""
+    from nvdb_tpu.kernels import dispatch
+
+    base, queries = data  # 8 queries
+    monkeypatch.setattr(dispatch, "_MAX_KERNEL_BATCH", 4)
+    q = jnp.asarray(queries)
+    v = jnp.asarray(base)
+    sv, si = dispatch.flat_topk(q, v, None, 2048, 10, backend="pallas",
+                                interpret=True)
+    jv, ji = ops.scan_topk(q, v, None, 2048, 10, row_block=256)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(jv),
+                               atol=1e-5, rtol=1e-5)
+    assert np.mean(np.asarray(si) == np.asarray(ji)) > 0.95
