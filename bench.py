@@ -149,12 +149,14 @@ def main():
     @jax.jit
     def scan_qi8_refined(qf, qi, qs, v, s):
         # exact i8 mode: i8 x i8 scan -> fused f32-query dot rerank of the
-        # top-rk (restores the f32-query ranking, ~rk rows of extra work)
+        # top-rk (restores the f32-query ranking, ~rk rows of extra work).
+        # Routed through the measured pallas-vs-jnp crossover: at B=512/R=50
+        # the candidate count (25.6K rows) is far past the ~3.2K crossover,
+        # where the pallas kernel's aligned-block DMA costs ~9 ms/scan vs
+        # well under 1 ms for the fused XLA gather.
         vv, ii = dispatch.flat_topk(qi, v, s, n_valid, rk, backend="auto",
                                     query_scales=qs)
-        from nvdb_tpu.kernels.rerank import pallas_rerank
-
-        return pallas_rerank(qf, ii, v, s, k, metric="dot")
+        return dispatch.exact_refine(qf, ii, v, s, k, metric="dot")
 
     B = args.batch
     if args.qi8:
@@ -188,12 +190,21 @@ def main():
     first_ids = np.asarray(run(slices[0])[1])
     log(f"compile+first scan: {time.perf_counter() - t0:.1f}s")
     if args.qi8 and rk:
-        # exactness evidence for the refined mode: top-k vs the f32-query
-        # oracle over the same int8 store (the accuracy-neutral default)
-        from nvdb_tpu.kernels import ops as _ops
-        ji = np.asarray(_ops.scan_topk(slices[0], base, scales, n_valid, k)[1])
-        log(f"refined-vs-f32-query-oracle id match: "
-            f"{np.mean(ji == first_ids):.4f}")
+        # exactness evidence for the refined mode: top-k vs the TRUE
+        # f32-query oracle (f32-HIGHEST over the dequantized store). Note
+        # scan_topk on an int8 store casts queries to bf16 inside the
+        # matmul — that pseudo-oracle itself mis-orders ~4% of positions
+        # vs truth, so it must NOT be the comparison target here.
+        if args.n * Dp * 4 <= 6 * 1024**3:
+            from nvdb_tpu.kernels import ops as _ops
+            deq = base.astype(jnp.float32) * scales[:, None]
+            ji = np.asarray(_ops.scan_topk(slices[0], deq, None,
+                                           n_valid, k)[1])
+            del deq
+            log(f"refined-vs-true-f32-oracle id match: "
+                f"{np.mean(ji == first_ids):.4f}")
+        else:
+            log("oracle check skipped (dequantized store would exceed HBM)")
     for s in slices[1:]:
         _ = np.asarray(run(s)[1])
 
