@@ -46,7 +46,14 @@ class FlatIndex:
     the same store, restoring the f32-query ranking (the reference keeps
     queries f32 precisely to avoid this tradeoff, Performance.md:242-255;
     here exactness costs ~refine_k rows of rerank instead of half the scan
-    rate). One fused program: scan -> rerank, no intermediate fetch."""
+    rate). One fused program: scan -> rerank, no intermediate fetch.
+
+    Measured refine_k guidance (1M x 768 iid-gaussian — the WORST case for
+    query-quantization ranking error): the qi8 top-16 covers the true
+    f32-query top-10 at 1.00000, and refine_k=16 reproduces the exact
+    oracle ranking at 98% of the raw qi8 scan rate; deeper candidate scans
+    pay top-k extraction rounds (k=32 costs ~2x) for no accuracy gain
+    (bench_artifacts/exact_i8_r3.txt). Keep refine_k ~ 1.5-2x k."""
 
     def __init__(self, store: VectorStore, backend: str = "auto",
                  quantize_queries: bool = False, refine_k: int = 0):
