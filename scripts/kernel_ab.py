@@ -128,15 +128,20 @@ def main():
             f"{time.perf_counter()-t0:.1f}s")
         if args.check and merge not in ("nomerge", "fixed2", "mmonly"):
             jv, ji = ops.scan_topk(q0, base, scales, args.n, k)
-            match = np.mean(np.asarray(ji) == i0)
-            log(f"  id match vs oracle: {match:.4f}")
-            # qi8 adds query-quantization error vs the f32-query
-            # oracle; extract16/key rank at bf16 precision.
-            # iid-gaussian scores are the worst case (top-10 dot
-            # gaps ~1e-2 sigma vs bf16 abs rounding ~0.1 at D=768).
-            # Report, gate loosely.
+            ji = np.asarray(ji)
+            match = np.mean(ji == i0)
+            # bf16-granular rankings (key packs mono16 scores; qi8
+            # quantizes queries) tie densely in the deep-k tail, so
+            # POSITIONAL order churns with k (measured: key k=32 is
+            # 0.66 positional yet 0.996 SET overlap with zero dups and
+            # max achieved-score regret of one bf16 ulp). Gate those on
+            # set overlap; exact merges stay gated positionally.
             loose = args.qi8 or merge in ("extract16", "key")
-            assert match > (0.7 if loose else 0.99), match
+            setov = np.mean([len(set(a.tolist()) & set(b.tolist())) / k
+                             for a, b in zip(ji, i0)])
+            log(f"  id match vs oracle: {match:.4f} (set {setov:.4f})")
+            assert (setov if loose else match) > (0.95 if loose else 0.99), \
+                (match, setov)
 
     def timed(runj, q0, q1):
         """One chained sample: iters dispatches, one trailing fetch."""
