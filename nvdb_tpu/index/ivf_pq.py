@@ -246,7 +246,12 @@ class IVFPQIndex:
 
         # residuals vs the packed list's centroid, then PQ codebooks + encode
         cents_np = np.asarray(cents)
-        list_of = np.empty(n, np.int64)
+        # zeros, not empty: SPILLED rows are in no list, so their list_of
+        # entry is never assigned below — with np.empty the residual
+        # subtraction would index cents_np with uninitialized garbage
+        # (out-of-bounds crash when a stale page holds a large value).
+        # Centroid 0 is harmless: spilled rows' residuals/codes are unused.
+        list_of = np.zeros(n, np.int64)
         li, si = np.nonzero(slot_ids >= 0)
         list_of[slot_ids[li, si]] = li
         # in-place chunked subtraction: at 8M rows the fancy-index temp
