@@ -243,6 +243,45 @@ def _dec(kk):
     return jax.lax.bitcast_convert_type(bd, jnp.float32)
 
 
+def _fold_keys_scr(e, vals_scr, ids_scr, k, coord_base):
+    """Count + dynamic-extraction fold of packed ``(mono16(score)|lane)``
+    int32 keys into the slot buffer (shared by the gen-5 key kernel and the
+    gen-6 gathered kernel). Each round is a bare max-reduce + zap — 2
+    full-width passes — and the winner's id costs ZERO passes: its packed
+    coordinate ``coord_base + (key & 0xFFFF)`` is rebuilt arithmetically
+    from the max key and remapped to a row id OUTSIDE the kernel."""
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, K_LANES), 1)
+    live = lane128 < k
+    theta0 = jnp.min(jnp.where(live, vals_scr[0:1], POS_INF),
+                     axis=1, keepdims=True)
+    tkey = jnp.bitwise_or(jnp.bitwise_and(_enc(theta0), KMASK),
+                          jnp.int32(0xFFFF))
+    cnt = jnp.sum((e > tkey).astype(jnp.int32))
+    c = jnp.minimum(cnt, k)                          # traced scalar
+
+    def body(_, carry):
+        e_c, vals_c, ids_c = carry
+        kmax = jnp.max(e_c, axis=1, keepdims=True)   # [1, 1]
+        e_c = jnp.where(e_c == kmax, IMIN, e_c)
+        mval = _dec(kmax)
+        coord = jnp.bitwise_and(kmax, jnp.int32(0xFFFF)) + coord_base
+        vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+                       keepdims=True)
+        ins = (mval > vmin) & (kmax > IMIN)
+        slotl = jnp.max(jnp.where(live & (vals_c == vmin),
+                                  lane128, -1),
+                        axis=1, keepdims=True)
+        do = ins & (lane128 == slotl)
+        vals_c = jnp.where(do, mval, vals_c)
+        ids_c = jnp.where(do, coord, ids_c)
+        return e_c, vals_c, ids_c
+
+    _, v1, i1 = jax.lax.fori_loop(
+        0, c, body, (e, vals_scr[0:1], ids_scr[0:1]))
+    vals_scr[0:1] = v1
+    ids_scr[0:1] = i1
+
+
 def _make_kernel_keys(k: int, m: int, lcap: int, g: int, nch: int,
                       total: int, p_orig: int, diag: str = ""):
     """ADC generation 5: derived slot keys + double-buffered codes DMA.
@@ -365,37 +404,85 @@ def _make_kernel_keys(k: int, m: int, lcap: int, g: int, nch: int,
                 vals_scr[0:1],
                 _dec(jnp.max(e)) + 0.0 * vals_scr[0:1])
         else:
-            W = g * lcap
-            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, K_LANES), 1)
-            live = lane128 < k
-            theta0 = jnp.min(jnp.where(live, vals_scr[0:1], POS_INF),
-                             axis=1, keepdims=True)
-            tkey = jnp.bitwise_or(jnp.bitwise_and(_enc(theta0), KMASK),
-                                  jnp.int32(0xFFFF))
-            cnt = jnp.sum((e > tkey).astype(jnp.int32))
-            c = jnp.minimum(cnt, k)                          # traced scalar
+            _fold_keys_scr(e, vals_scr, ids_scr, k, j * (g * lcap))
 
-            def body(_, carry):
-                e_c, vals_c, ids_c = carry
-                kmax = jnp.max(e_c, axis=1, keepdims=True)   # [1, 1]
-                e_c = jnp.where(e_c == kmax, IMIN, e_c)
-                mval = _dec(kmax)
-                coord = jnp.bitwise_and(kmax, jnp.int32(0xFFFF)) + j * W
-                vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
-                               keepdims=True)
-                ins = (mval > vmin) & (kmax > IMIN)
-                slotl = jnp.max(jnp.where(live & (vals_c == vmin),
-                                          lane128, -1),
-                                axis=1, keepdims=True)
-                do = ins & (lane128 == slotl)
-                vals_c = jnp.where(do, mval, vals_c)
-                ids_c = jnp.where(do, coord, ids_c)
-                return e_c, vals_c, ids_c
+        @pl.when(j == nj - 1)
+        def _emit():
+            sv, si = _merge_topk_sorted(vals_scr[0:1], ids_scr[0:1], k)
+            vals_out[0] = sv
+            ids_out[0] = si
 
-            _, v1, i1 = jax.lax.fori_loop(
-                0, c, body, (e, vals_scr[0:1], ids_scr[0:1]))
-            vals_scr[0:1] = v1
-            ids_scr[0:1] = i1
+    return kernel
+
+
+def _make_kernel_gather(k: int, m: int, lcap: int, g: int, nch: int,
+                        p_orig: int, diag: str = ""):
+    """ADC generation 6: XLA-gathered codes, zero in-kernel DMA issue.
+
+    The gen-5 diag decomposition left a ~10 ms "DMA+grid floor" at the
+    flagship shape (B=64, P=64, g=4): ~4096 scalar-issued per-list copies
+    at ~2.4 us each — per-COPY issue cost on the scalar core, not bytes
+    (the 402 MB of probed slabs stream in ~0.5 ms at nameplate; measured
+    g=8 ~= g=4 ruled out per-STEP overhead). This variant moves the
+    pointer-chasing out of the kernel entirely: the caller gathers the
+    probed slabs into a contiguous ``[B*P, M, Lcap]`` array with ONE XLA
+    gather (measured ~1.5 ms fitted at the flagship shape — 98 KB
+    contiguous rows gather at memcpy speed), and the kernel becomes a
+    plain Mosaic-pipelined grid: one contiguous [g, M, Lcap] block DMA
+    per step, issued and double-buffered by the pipeline prologue — g
+    times fewer, g times larger transfers, and no scalar-core address
+    computation from the probe table.
+
+    Scoring, chunk gating, and the packed-key extraction merge are the
+    gen-5 body unchanged (``_score_list`` / ``_fold_keys_scr``); ids are
+    derived coordinates remapped outside, so the same preconditions apply
+    (prefix-packed index, replicas == 1)."""
+    lc = lcap // nch
+
+    def kernel(probes_ref, fills_ref, lut_ref, codes_ref,
+               vals_out, ids_out, vals_scr, ids_scr, s_scr):
+        b = pl.program_id(0)
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _init():
+            vals_scr[:] = jnp.full(vals_scr.shape, NEG_INF, dtype=jnp.float32)
+            ids_scr[:] = jnp.full(ids_scr.shape, -1, dtype=jnp.int32)
+
+        pad_gate = (p_orig % g != 0)
+        s_scr[:] = jnp.full(s_scr.shape, IMIN, dtype=jnp.int32)
+        for gi in range(g):
+            li = probes_ref[b, j * g + gi]
+            fill = fills_ref[li]
+            lut3 = lut_ref[0, 0, gi].astype(jnp.bfloat16)    # [M, 16, 16]
+            if diag == "noscore":
+                continue
+            for ci in range(nch):
+                cond = (ci * lc < fill)
+                if pad_gate:
+                    cond = cond & (j * g + gi < p_orig)
+
+                @pl.when(cond)
+                def _score_chunk(gi=gi, ci=ci, lut3=lut3, fill=fill):
+                    cods = codes_ref[gi, :, ci * lc:(ci + 1) * lc]
+                    sg = _score_list(cods, lut3, m, lc)      # [1, lc]
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, lc), 1) + ci * lc
+                    keyv = jnp.bitwise_or(
+                        jnp.bitwise_and(_enc(sg), KMASK),
+                        gi * lcap + lane)
+                    s_scr[0:1, gi * lcap + ci * lc:
+                          gi * lcap + (ci + 1) * lc] = jnp.where(
+                              lane < fill, keyv, IMIN)
+        e = s_scr[0:1]                                       # [1, W] keys
+
+        if diag == "nomerge":
+            vals_scr[0:1] = jnp.maximum(
+                vals_scr[0:1],
+                _dec(jnp.max(e)) + 0.0 * vals_scr[0:1])
+        else:
+            _fold_keys_scr(e, vals_scr, ids_scr, k, j * (g * lcap))
 
         @pl.when(j == nj - 1)
         def _emit():
@@ -456,13 +543,20 @@ def pallas_adc_topk(
     (``is_prefix_packed``) with globally unique slot ids (replicas == 1);
     callers must guard. It skips the slot-id DMA (ids derived in-kernel as
     ``list*lcap + lane`` and remapped here after the call) and
-    double-buffers the codes DMA across grid steps."""
+    double-buffers the codes DMA across grid steps.
+
+    ``ids_mode='gather'`` (generation 6) keeps gen-5's derived ids and
+    packed merge but replaces the in-kernel per-list DMAs with one XLA
+    gather of the probed slabs into ``[B*P, M, Lcap]`` — zero scalar-core
+    DMA issue in the kernel (see ``_make_kernel_gather``). Same
+    preconditions as 'key'."""
     B, P = probes.shape
     nlist, m, lcap = codes_t.shape
     if k > K_LANES:
         raise ValueError(f"k={k} exceeds the {K_LANES}-lane ADC slot buffer")
-    if ids_mode not in ("dma", "key"):
-        raise ValueError(f"ids_mode must be 'dma' or 'key', got {ids_mode}")
+    if ids_mode not in ("dma", "key", "gather"):
+        raise ValueError(
+            f"ids_mode must be 'dma', 'key' or 'gather', got {ids_mode}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if chunk is None:
@@ -471,7 +565,7 @@ def pallas_adc_topk(
         chunk = lcap
     nch = lcap // chunk
     if fills is None:
-        fills = (list_fills(slot_ids) if (nch > 1 or ids_mode == "key")
+        fills = (list_fills(slot_ids) if (nch > 1 or ids_mode != "dma")
                  else jnp.zeros((nlist,), jnp.int32))
     if nch == 1 and ids_mode == "dma":
         # full-width scan never reads fills; pin them so the cache key of
@@ -508,29 +602,57 @@ def pallas_adc_topk(
     params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"))
 
-    if diag and ids_mode != "key":
-        raise ValueError("diag timing probes exist only for ids_mode='key'")
-    if ids_mode == "key":
-        kernel = _make_kernel_keys(k, m, lcap, g, nch, B * (P // g),
-                                   p_orig, diag)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(B, P // g),
-            in_specs=[lut_spec, pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((8, K_LANES), jnp.float32),
-                pltpu.VMEM((8, K_LANES), jnp.int32),
-                pltpu.VMEM((1, g * lcap), jnp.int32),    # packed keys
-                pltpu.VMEM((2 * g, m, lcap), jnp.uint8),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
-        )
-        out = pl.pallas_call(
-            kernel, grid_spec=grid_spec, out_shape=out_shape,
-            compiler_params=params, interpret=interpret,
-        )(probes.astype(jnp.int32), fills.astype(jnp.int32),
-          lut.reshape(B, P // g, g, m, 16, 16), codes_t)
+    if diag and ids_mode == "dma":
+        raise ValueError("diag timing probes exist only for the key/gather "
+                         "derived-id kernels")
+    if ids_mode in ("key", "gather"):
+        if ids_mode == "key":
+            kernel = _make_kernel_keys(k, m, lcap, g, nch, B * (P // g),
+                                       p_orig, diag)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, P // g),
+                in_specs=[lut_spec, pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=out_specs,
+                scratch_shapes=[
+                    pltpu.VMEM((8, K_LANES), jnp.float32),
+                    pltpu.VMEM((8, K_LANES), jnp.int32),
+                    pltpu.VMEM((1, g * lcap), jnp.int32),    # packed keys
+                    pltpu.VMEM((2 * g, m, lcap), jnp.uint8),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            )
+            out = pl.pallas_call(
+                kernel, grid_spec=grid_spec, out_shape=out_shape,
+                compiler_params=params, interpret=interpret,
+            )(probes.astype(jnp.int32), fills.astype(jnp.int32),
+              lut.reshape(B, P // g, g, m, 16, 16), codes_t)
+        else:
+            # gen-6: ONE XLA gather replaces B*P scalar-issued list copies;
+            # the kernel reads plain pipelined [g, M, Lcap] blocks
+            gcodes = jnp.take(codes_t, probes.reshape(-1).astype(jnp.int32),
+                              axis=0)                  # [B*P, M, Lcap]
+            npg = P // g
+            codes_spec = pl.BlockSpec(
+                (g, m, lcap), lambda b, j, *pr: (b * npg + j, 0, 0),
+                memory_space=pltpu.VMEM)
+            kernel = _make_kernel_gather(k, m, lcap, g, nch, p_orig, diag)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, npg),
+                in_specs=[lut_spec, codes_spec],
+                out_specs=out_specs,
+                scratch_shapes=[
+                    pltpu.VMEM((8, K_LANES), jnp.float32),
+                    pltpu.VMEM((8, K_LANES), jnp.int32),
+                    pltpu.VMEM((1, g * lcap), jnp.int32),    # packed keys
+                ],
+            )
+            out = pl.pallas_call(
+                kernel, grid_spec=grid_spec, out_shape=out_shape,
+                compiler_params=params, interpret=interpret,
+            )(probes.astype(jnp.int32), fills.astype(jnp.int32),
+              lut.reshape(B, P // g, g, m, 16, 16), gcodes)
         # coordinates (j*W + w) -> row ids: one [B, k] remap through the
         # probe table and the flat slot-id array (no in-kernel id DMA)
         W = g * lcap

@@ -39,7 +39,9 @@ def main():
     ap.add_argument("--pairs", type=int, default=10)
     ap.add_argument("--chain", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--mode", choices=["slim", "gen4", "gen5", "gen5diag"],
+    ap.add_argument("--mode",
+                    choices=["slim", "gen4", "gen5", "gen5diag", "gen6",
+                             "gen6diag"],
                     default="slim")
     ap.add_argument("--diag", choices=["nomerge", "noscore"],
                     default="nomerge",
@@ -66,7 +68,7 @@ def main():
         k2, (B, P), 0, nlist, dtype=jnp.int32))
     codes = jax.block_until_ready(jax.random.randint(
         k3, (nlist, m, L), 0, 256, dtype=jnp.int32).astype(jnp.uint8))
-    if args.mode in ("gen4", "gen5", "gen5diag"):
+    if args.mode in ("gen4", "gen5", "gen5diag", "gen6", "gen6diag"):
         # prefix-packed partial fills: lognormal around fill_frac*L, the
         # shape of a repacked index's probed-list occupancy (BENCHMARKS §4)
         rng = np.random.default_rng(7)
@@ -103,6 +105,16 @@ def main():
         arms = {"gen5": make(chunk=args.chunk, ids_mode="key"),
                 args.diag: make(chunk=args.chunk, ids_mode="key",
                                 diag=args.diag)}
+    elif args.mode == "gen6diag":
+        arms = {"gen6": make(chunk=args.chunk, ids_mode="gather"),
+                args.diag: make(chunk=args.chunk, ids_mode="gather",
+                                diag=args.diag)}
+    elif args.mode == "gen6":
+        # gen-5 (in-kernel per-list DMA issue) vs gen-6 (one XLA gather +
+        # plain pipelined blocks) — the DMA-issue-floor attack; the gather
+        # cost is inside the jitted arm, so the delta is end-to-end
+        arms = {"gen5": make(chunk=args.chunk, ids_mode="key"),
+                "gen6": make(chunk=args.chunk, ids_mode="gather")}
     elif args.mode == "gen5":
         # gen-4 (chunked, DMA'd ids) vs gen-5 (chunked, derived keys +
         # double-buffered codes DMA) — the per-list-overhead attack

@@ -172,6 +172,16 @@ def main():
     ok("adc_key_mode", ovl >= 0.9 and uniq and close,
        f"ids_mode=key overlap={ovl:.3f} lcap={lc} chunk={ch}")
 
+    # gen-6 gather mode: XLA-gathered codes + plain pipelined block DMA.
+    # Must be bit-identical to gen-5 (same scoring/merge, different DMA
+    # plumbing); exercises the gathered BlockSpec index map on TPU.
+    gv, gi = adc_scan.pallas_adc_topk(lut, probes, pqi.codes,
+                                      pqi.slot_ids, k, g=4, chunk=ch,
+                                      fills=pqi.fills(), ids_mode="gather")
+    gbit = (np.array_equal(np.asarray(gv), kv2)
+            and np.array_equal(np.asarray(gi), ki2))
+    ok("adc_gather_mode", gbit, f"ids_mode=gather bit-identical-to-key")
+
     # refine must convert candidate coverage into recall (recall ==
     # cand_recall is the invariant ivf_eval checks; absolute recall here is
     # corpus-limited — iid gaussian is ADC's worst case)

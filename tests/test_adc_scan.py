@@ -130,9 +130,11 @@ def test_pallas_adc_chunk_skip_bit_identical(chunk):
 
 
 @pytest.mark.parametrize("chunk", [32, 128])
-def test_pallas_adc_key_mode_matches_dma(chunk):
+@pytest.mark.parametrize("mode", ["key", "gather"])
+def test_pallas_adc_key_mode_matches_dma(chunk, mode):
     """Gen-5 key mode (packed score|lane keys + double-buffered codes DMA)
-    must produce the same candidates as the DMA-id path on a prefix-packed
+    and gen-6 gather mode (XLA-gathered codes, pipelined blocks) must
+    produce the same candidates as the DMA-id path on a prefix-packed
     index, modulo the packed merge's bf16-truncated ranking: candidate
     sets may differ only where scores collide at 16-bit granularity, and
     returned values are truncated to those 16 bits."""
