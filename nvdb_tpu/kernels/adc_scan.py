@@ -586,9 +586,20 @@ def pallas_adc_topk(
             [lut, jnp.repeat(lut[:, -1:], pad, axis=1)], axis=1)
         P += pad
 
-    lut_spec = pl.BlockSpec((1, 1, g, m, 16, 16),
-                            lambda b, j, *pr: (b, j, 0, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    if diag == "pinlut":
+        # timing probe: pin the LUT block index so Mosaic's revisit
+        # optimization skips the per-step [1,1,g,M,16,16] copy (~196 KB
+        # bf16 per grid step). Results are WRONG by design — every step
+        # scores against step (0,0)'s tables; the arm isolates the LUT
+        # operand pipeline's share of kernel time (adc_ab --diag pinlut).
+        lut_spec = pl.BlockSpec((1, 1, g, m, 16, 16),
+                                lambda b, j, *pr: (0, 0, 0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        diag = ""
+    else:
+        lut_spec = pl.BlockSpec((1, 1, g, m, 16, 16),
+                                lambda b, j, *pr: (b, j, 0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
     out_specs = [
         pl.BlockSpec((1, 1, k), lambda b, j, *pr: (b, 0, 0),
                      memory_space=pltpu.VMEM),

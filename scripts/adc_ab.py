@@ -43,7 +43,7 @@ def main():
                     choices=["slim", "gen4", "gen5", "gen5diag", "gen6",
                              "gen6diag"],
                     default="slim")
-    ap.add_argument("--diag", choices=["nomerge", "noscore"],
+    ap.add_argument("--diag", choices=["nomerge", "noscore", "pinlut"],
                     default="nomerge",
                     help="gen5diag: which wrong-result probe to pair "
                          "against the real gen-5 kernel")
