@@ -184,8 +184,13 @@ def build_ground_truth_chunked(
 
     all_v: list[np.ndarray] = []
     all_i: list[np.ndarray] = []
+    import sys
+    import time
+    t0 = time.perf_counter()
     for c0 in range(0, f.count, row_chunk):
         c1 = min(c0 + row_chunk, f.count)
+        print(f"[gt +{time.perf_counter() - t0:6.1f}s] chunk "
+              f"{c0}..{c1} of {f.count}", file=sys.stderr, flush=True)
         rows = f.rows_f32(c0, c1)
         n = c1 - c0
         npad = round_up(n, 1024)
