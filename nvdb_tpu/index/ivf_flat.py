@@ -110,6 +110,25 @@ def _pack_lists(
     return packed, slot_ids, slot_scales, spilled
 
 
+def _coarse_probes(queries, centroids, slot_ids, nprobe):
+    """Coarse top-nprobe lists by L2 (argmax 2 q.c - ||c||^2), with EMPTY
+    lists masked out of the ranking. k-means dead centroids keep their init
+    positions — actual corpus rows, unit-norm on normalized corpora — so
+    near the query they OUTRANK every real cell mean (whose norm is < 1
+    as an average of unit vectors), flooding the top of the ranking with
+    zero-candidate lists that burn probe slots. Measured on the 8M x 768
+    flagship (nlist=16384, 1,845 dead lists): GT-list coverage@nprobe=64
+    .9617 -> .9970 from this mask alone (scripts/coverage_probe.py,
+    BENCHMARKS 8M section)."""
+    qc = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
+    live = (slot_ids >= 0).any(axis=1)[None, :]
+    _, probes = jax.lax.top_k(jnp.where(live, 2.0 * qc - c2, -jnp.inf),
+                              nprobe)
+    return probes
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def _ivf_search_block(
     queries: jax.Array,       # [B, Dp] f32
@@ -120,11 +139,7 @@ def _ivf_search_block(
     k: int,
     nprobe: int,
 ) -> Tuple[jax.Array, jax.Array]:
-    # coarse: L2 rank == argmax(2 q.c - ||c||^2)
-    qc = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
-    _, probes = jax.lax.top_k(2.0 * qc - c2, nprobe)          # [B, nprobe]
+    probes = _coarse_probes(queries, centroids, slot_ids, nprobe)  # [B, P]
 
     cand = jnp.take(packed, probes, axis=0)                   # [B, P, L, Dp]
     sids = jnp.take(slot_ids, probes, axis=0)                 # [B, P, L]
@@ -353,10 +368,7 @@ def _ivf_probe_pallas(
     """Coarse top-nprobe (jnp) + the scalar-prefetch Pallas probe kernel."""
     from nvdb_tpu.kernels.ivf_scan import pallas_ivf_probe_topk
 
-    qc = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
-    _, probes = jax.lax.top_k(2.0 * qc - c2, nprobe)
+    probes = _coarse_probes(queries, centroids, slot_ids, nprobe)
     return pallas_ivf_probe_topk(queries, probes, packed, slot_ids,
                                  slot_scales, k)
 

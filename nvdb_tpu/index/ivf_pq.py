@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nvdb_tpu.index.ivf_flat import _pack_lists, _topS_centroids
+from nvdb_tpu.index.ivf_flat import _coarse_probes, _pack_lists, _topS_centroids
 from nvdb_tpu.kernels import adc_scan, kmeans, ops, pq
 from nvdb_tpu.utils import round_up
 
@@ -51,10 +51,10 @@ def _ivfpq_search_block(
     ids_mode: str = "dma",    # "key" (gen-5): prefix-packed, replicas==1 only
 ) -> Tuple[jax.Array, jax.Array]:
     B = q_rot.shape[0]
-    qc = jnp.dot(q_rot, centroids.T, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    c2 = jnp.sum(centroids * centroids, axis=1)[None, :]
-    _, probes = jax.lax.top_k(2.0 * qc - c2, nprobe)             # [B, P]
+    # empty lists masked from the coarse ranking — see _coarse_probes
+    # (ivf_flat.py): dead k-means centroids otherwise outrank real cell
+    # means near the query (8M flagship: coverage@64 .9617 -> .9970)
+    probes = _coarse_probes(q_rot, centroids, slot_ids, nprobe)  # [B, P]
 
     cents_p = jnp.take(centroids, probes, axis=0)                # [B, P, Dp]
     residuals = q_rot[:, None, :] - cents_p                      # [B, P, Dp]

@@ -136,3 +136,42 @@ def test_ivfflat_repack():
     _, i_full = re.search(q, 5, nprobe=16)
     _, i_tight = tight.search(q, 5, nprobe=16)
     assert np.array_equal(np.sort(i_full, 1), np.sort(i_tight, 1))
+
+
+def test_ivf_dead_centroid_does_not_burn_probes():
+    """A k-means dead centroid sits at its INIT position (a corpus row on
+    normalized data) so near the query it outranks every real cell mean
+    (norm < 1) in the 2qc - c^2 coarse ranking. The probe ranking must mask
+    zero-fill lists or nprobe=1 probes an EMPTY list and returns nothing
+    (8M flagship: 1,845 dead lists cost .035 coverage, coverage_probe.py)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((512, 32)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    idx = IVFFlatIndex.build(base, nlist=8, dtype="f32", n_iters=6, seed=1)
+    q = base[:4]
+
+    # poison: empty list 0 and park its centroid exactly ON each query's
+    # position in turn (worst case: ranks first for that query)
+    sids = np.asarray(idx.slot_ids).copy()
+    moved = sids[0][sids[0] >= 0]
+    sids[0] = -1
+    cents = np.asarray(idx.centroids)
+    q_pad = np.zeros(cents.shape[1], np.float32)
+    q_pad[:q.shape[1]] = q[0]
+    idx2 = IVFFlatIndex(
+        centroids=jnp.asarray(np.vstack([q_pad, cents[1:]])),
+        packed=idx.packed, slot_ids=jnp.asarray(sids),
+        slot_scales=idx.slot_scales, n=idx.n, d=idx.d,
+        dtype_code=idx.dtype_code)
+
+    _, ids1 = idx2.search(q[:1], 5, nprobe=1)
+    assert (np.asarray(ids1) >= 0).all()          # not the empty list
+    assert not set(np.asarray(ids1)[0]) & set(moved.tolist())
+    # full live probing still exact over the remaining rows
+    _, ids_all = idx2.search(q[:1], 5, nprobe=8)
+    keep = np.setdiff1d(np.arange(512), moved)
+    s = q[:1].astype(np.float64) @ base[keep].T.astype(np.float64)
+    expect = keep[np.argsort(-s[0])[:5]]
+    assert set(np.asarray(ids_all)[0]) == set(expect.tolist())
