@@ -99,10 +99,12 @@ class EvalConfig:
     ann_only: bool = False         # EVAL_MODE=ann_only
     gt_path: str | None = None     # GT_PATH
     gt_host: bool = False          # GT_MODE analogue: native host GT builder
+    exact_metric: str = "dot"      # EXACT_METRIC=DOT|L2 (nvdb_ivf_eval.cpp:353)
 
     @classmethod
     def from_env(cls) -> "EvalConfig":
         return cls(warmup=_env_int("WARMUP", 2),
                    ann_only=os.environ.get("EVAL_MODE") == "ann_only",
                    gt_path=os.environ.get("GT_PATH"),
-                   gt_host=os.environ.get("GT_MODE") == "host")
+                   gt_host=os.environ.get("GT_MODE") == "host",
+                   exact_metric=os.environ.get("EXACT_METRIC", "dot").lower())

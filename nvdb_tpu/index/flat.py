@@ -56,12 +56,18 @@ class FlatIndex:
     (bench_artifacts/exact_i8_r3.txt). Keep refine_k ~ 1.5-2x k."""
 
     def __init__(self, store: VectorStore, backend: str = "auto",
-                 quantize_queries: bool = False, refine_k: int = 0):
+                 quantize_queries: bool = False, refine_k: int = 0,
+                 metric: str = "dot"):
         from nvdb_tpu.formats import vecbin as _vb
 
         self.store = store
         self.backend = backend
-        self.quantize_queries = (quantize_queries
+        # EXACT_METRIC analogue (nvdb_ivf_eval.cpp:353): "l2" ranks by
+        # 2 q.r - ||r||^2 (exact on un-normalized corpora; jnp path only)
+        if metric not in ("dot", "l2"):
+            raise ValueError(f"unknown metric {metric!r}")
+        self.metric = metric
+        self.quantize_queries = (quantize_queries and metric == "dot"
                                  and store.dtype_code == _vb.DTYPE_I8)
         self.refine_k = refine_k if self.quantize_queries else 0
         self._jit_cache: dict = {}
@@ -102,11 +108,13 @@ class FlatIndex:
             elif has_scales:
                 def run(queries, vectors, scales):
                     return dispatch.flat_topk(
-                        queries, vectors, scales, n_valid, k, backend=backend)
+                        queries, vectors, scales, n_valid, k, backend=backend,
+                        metric=self.metric)
             else:
                 def run(queries, vectors):
                     return dispatch.flat_topk(
-                        queries, vectors, None, n_valid, k, backend=backend)
+                        queries, vectors, None, n_valid, k, backend=backend,
+                        metric=self.metric)
 
             fn = jax.jit(run)
             self._jit_cache[key] = fn
@@ -149,11 +157,13 @@ class FlatIndex:
 
 def build_ground_truth(
     store: VectorStore, queries: np.ndarray, k: int, batch: int = 256,
-    backend: str = "auto",
+    backend: str = "auto", metric: str = "dot",
 ) -> np.ndarray:
     """Exact top-k ids for all queries — the nvdb_gt_build core
-    (nvdb_gt_build.cpp:74-127). Returns uint32 ids [Q, k]."""
-    idx = FlatIndex(store, backend=backend)
+    (nvdb_gt_build.cpp:74-127). Returns uint32 ids [Q, k].
+    ``metric="l2"`` is the EXACT_METRIC=L2 analogue (exact L2 rank on
+    un-normalized corpora; identical ids on normalized ones)."""
+    idx = FlatIndex(store, backend=backend, metric=metric)
     out = []
     for s in range(0, queries.shape[0], batch):
         _, ids = idx.search(queries[s : s + batch], k)
@@ -163,14 +173,19 @@ def build_ground_truth(
 
 def build_ground_truth_chunked(
     path: str, queries: np.ndarray, k: int, batch: int = 256,
-    row_chunk: int = 1_000_000,
+    row_chunk: int = 1_000_000, verbose: bool = False, metric: str = "dot",
 ) -> np.ndarray:
     """Exact f32 GT for a corpus LARGER than device HBM: stream row chunks
     (mmap slice -> device), exact-scan each against all query batches with
     HIGHEST-precision f32 matmuls, and k-merge the per-chunk winners on the
     host. Same result as the resident path, peak device memory = one
     chunk. (The reference's gt_build streams the file once on the CPU the
-    same way, nvdb_gt_build.cpp:74-127.)"""
+    same way, nvdb_gt_build.cpp:74-127.) ``verbose`` prints per-chunk
+    progress to stderr (tools pass True — an 8M GT runs ~1 h with no other
+    output); library callers stay silent by default."""
+    import sys
+    import time
+
     from nvdb_tpu.formats import vecbin
     from nvdb_tpu.kernels import ops
     from nvdb_tpu.utils import round_up
@@ -184,13 +199,12 @@ def build_ground_truth_chunked(
 
     all_v: list[np.ndarray] = []
     all_i: list[np.ndarray] = []
-    import sys
-    import time
     t0 = time.perf_counter()
     for c0 in range(0, f.count, row_chunk):
         c1 = min(c0 + row_chunk, f.count)
-        print(f"[gt +{time.perf_counter() - t0:6.1f}s] chunk "
-              f"{c0}..{c1} of {f.count}", file=sys.stderr, flush=True)
+        if verbose:
+            print(f"[gt +{time.perf_counter() - t0:6.1f}s] chunk "
+                  f"{c0}..{c1} of {f.count}", file=sys.stderr, flush=True)
         rows = f.rows_f32(c0, c1)
         n = c1 - c0
         npad = round_up(n, 1024)
@@ -202,7 +216,8 @@ def build_ground_truth_chunked(
         cv = np.empty((Q, k), np.float32)
         ci = np.empty((Q, k), np.int64)
         for s in range(0, Q, batch):
-            v, i = ops.scan_topk(qdev[s:s + batch], dev, None, n, k)
+            v, i = ops.scan_topk(qdev[s:s + batch], dev, None, n, k,
+                                 metric=metric)
             cv[s:s + batch] = np.asarray(v)
             ci[s:s + batch] = np.asarray(i).astype(np.int64) + c0
         all_v.append(cv)

@@ -290,6 +290,9 @@ class IVFFlatIndex:
         """Device-resident path: queries [B, Dp] already padded/on-device;
         returns device arrays. Avoids per-call host->device transfers (the
         serving path; host ``search`` wraps this)."""
+        if backend == "auto":
+            from nvdb_tpu.kernels.dispatch import default_backend
+            backend = default_backend()
         nprobe = min(nprobe, self.nlist)
         fn = _ivf_probe_pallas if backend == "pallas" else _ivf_search_block
         return fn(queries, self.centroids, self.packed, self.slot_ids,

@@ -87,7 +87,7 @@ def _ivfpq_search_block(
     return vals, ids
 
 
-@functools.partial(jax.jit, static_argnames=("k", "backend"))
+@functools.partial(jax.jit, static_argnames=("k", "backend", "metric"))
 def _refine_block(
     queries: jax.Array,       # [B, Dp] UN-rotated queries
     cand_ids: jax.Array,      # [B, R] int32 (-1 padded)
@@ -96,22 +96,25 @@ def _refine_block(
     k: int,
     backend: str = "jnp",
     norms2=None,              # [Np] f32 (VectorStore.norms2) for pallas
+    metric: str = "l2",       # EXACT_METRIC=L2|DOT (nvdb_ivf_eval.cpp:353,436)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact L2 rerank of ADC candidates against the full-precision store —
+    """Exact rerank of ADC candidates against the full-precision store —
     the cuda_l2_topk_batch role (cuda_refine.cu:839-1175), fused on-device.
     backend="pallas" streams candidate rows HBM->VMEM by id-driven async
     copies (kernels/rerank.py) instead of materializing the [B, R, Dp]
-    gather slab in HBM."""
+    gather slab in HBM. metric="l2" ranks by 2 q.r - ||r||^2 (the default,
+    matching refine_topk_l2_ids); "dot" by the scaled dot product — on
+    normalized corpora the ranks coincide (gtbin_format.h:11-15)."""
     if backend == "pallas":
         from nvdb_tpu.kernels.rerank import pallas_rerank
 
         return pallas_rerank(queries, cand_ids, vectors, scales, k,
-                             norms2=norms2)
+                             norms2=norms2, metric=metric)
     safe = jnp.maximum(cand_ids, 0)
     rows = jnp.take(vectors, safe, axis=0).astype(jnp.float32)   # [B, R, Dp]
     if scales is not None:
         rows = rows * jnp.take(scales, safe, axis=0)[:, :, None]
-    return ops.exact_rerank(queries, rows, cand_ids, k, metric="l2")
+    return ops.exact_rerank(queries, rows, cand_ids, k, metric=metric)
 
 
 @dataclasses.dataclass
@@ -381,14 +384,17 @@ class IVFPQIndex:
     def search_device(self, queries: jax.Array, k: int, nprobe: int,
                       refine_k: int = 0, refine_store=None,
                       backend: str = "auto",
-                      for_refine: bool = False) -> Tuple[jax.Array, jax.Array]:
+                      for_refine: bool = False,
+                      refine_metric: str = "l2"
+                      ) -> Tuple[jax.Array, jax.Array]:
         """Device-resident path: padded on-device queries in, device arrays out
         (coarse -> ADC -> optional fused exact refine, one program chain).
 
         ``for_refine=True`` declares the results are CANDIDATES a separate
         exact-refine stage will re-score (ivf_eval's staged stage A): the
         gen-5 packed-key kernel (bf16-granular ranking) is then eligible
-        even though refine_k == 0 here."""
+        even though refine_k == 0 here. ``refine_metric`` is the
+        EXACT_METRIC=L2|DOT knob of the refine stage."""
         if backend == "auto":
             from nvdb_tpu.kernels.dispatch import default_backend
             backend = default_backend()
@@ -425,7 +431,9 @@ class IVFPQIndex:
             v, i = _refine_block(
                 queries, i[:, :refine_k],
                 refine_store.vectors, refine_store.scales, k, backend=rb,
-                norms2=refine_store.norms2() if rb == "pallas" else None)
+                norms2=(refine_store.norms2()
+                        if rb == "pallas" and refine_metric == "l2" else None),
+                metric=refine_metric)
         return v[:, :k], i[:, :k]
 
     def search(

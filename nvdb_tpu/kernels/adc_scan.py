@@ -586,6 +586,12 @@ def pallas_adc_topk(
             [lut, jnp.repeat(lut[:, -1:], pad, axis=1)], axis=1)
         P += pad
 
+    # validate diag/ids_mode BEFORE the pinlut branch clears diag: with the
+    # default ids_mode='dma', diag='pinlut' used to slip past the guard
+    # below and silently return wrong results (ADVICE r3)
+    if diag and ids_mode == "dma":
+        raise ValueError("diag timing probes exist only for the key/gather "
+                         "derived-id kernels")
     if diag == "pinlut":
         # timing probe: pin the LUT block index so Mosaic's revisit
         # optimization skips the per-step [1,1,g,M,16,16] copy (~196 KB
@@ -613,9 +619,6 @@ def pallas_adc_topk(
     params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"))
 
-    if diag and ids_mode == "dma":
-        raise ValueError("diag timing probes exist only for the key/gather "
-                         "derived-id kernels")
     if ids_mode in ("key", "gather"):
         if ids_mode == "key":
             kernel = _make_kernel_keys(k, m, lcap, g, nch, B * (P // g),

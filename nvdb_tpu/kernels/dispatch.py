@@ -64,8 +64,17 @@ def flat_topk(
     row_block: int = 1024,
     interpret: Optional[bool] = None,
     query_scales: Optional[jax.Array] = None,
+    metric: str = "dot",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k dot-product scan of ``queries`` against the padded store."""
+    """Exact top-k scan of ``queries`` against the padded store.
+
+    ``metric="l2"`` (the EXACT_METRIC=L2 analogue, nvdb_ivf_eval.cpp:353)
+    ranks by 2 q.r - ||r||^2 and always runs the jnp path — it exists for
+    exact GT/eval on un-normalized corpora (offline), not the serving scan."""
+    if metric == "l2":
+        return ops.scan_topk(queries, vectors, scales, n_valid, k,
+                             row_block=row_block, query_scales=query_scales,
+                             metric="l2")
     if backend == "auto":
         backend = default_backend()
     if backend == "jnp":

@@ -92,7 +92,8 @@ def merge_topk(vals_a, ids_a, vals_b, ids_b, k: int) -> Tuple[jax.Array, jax.Arr
     return top_vals, jnp.take_along_axis(ids, idx, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "row_block", "chunk_target"))
+@functools.partial(jax.jit, static_argnames=("k", "row_block", "chunk_target",
+                                              "metric"))
 def scan_topk(
     queries: jax.Array,           # [B, Dp] f32 (dims already padded)
     vectors: jax.Array,           # [Np, Dp]
@@ -102,9 +103,22 @@ def scan_topk(
     row_block: int = 1024,
     chunk_target: int = 131072,
     query_scales: Optional[jax.Array] = None,  # [B] f32 for int8 queries
+    metric: str = "dot",
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact flat-scan top-k by dot product. Returns (scores [B,k], ids [B,k])
-    sorted descending. The jnp oracle for the Pallas fused scan kernel."""
+    """Exact flat-scan top-k. Returns (scores [B,k], ids [B,k]) sorted
+    descending. The jnp oracle for the Pallas fused scan kernel.
+
+    ``metric="dot"`` ranks by the dot product (the reference's default,
+    gtbin metric DotEquivalentL2 — identical L2 rank on normalized rows);
+    ``metric="l2"`` ranks by 2 q.r - ||r||^2 (monotone in -L2, exact on
+    UN-normalized corpora too) — the EXACT_METRIC=L2 analogue
+    (nvdb_ivf_eval.cpp:353,436). L2 scores fold the per-row i8 scale as
+    s^2 * ||codes||^2; int8 QUERIES are dot-only (query quantization is a
+    rank approximation already)."""
+    if metric not in ("dot", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
+    if metric == "l2" and query_scales is not None:
+        raise ValueError("metric='l2' requires f32 queries")
     B = queries.shape[0]
     Np, Dp = vectors.shape
     chunk = _pick_chunk(Np, row_block, chunk_target)
@@ -124,6 +138,11 @@ def scan_topk(
         else:
             (tile, start), s_tile = xs, None
         scores = score_chunk(queries, tile, s_tile, query_scales)
+        if metric == "l2":
+            n2 = jnp.sum(tile.astype(jnp.float32) ** 2, axis=1)   # [T]
+            if s_tile is not None:
+                n2 = n2 * s_tile * s_tile
+            scores = 2.0 * scores - n2[None, :]
         gids = start + col_ids
         scores = jnp.where((gids < n_valid)[None, :], scores, NEG_INF)
         new_vals, new_ids = merge_topk(

@@ -26,7 +26,16 @@ def main(argv=None):
                         "chunked device scan + host k-merge) — for corpora "
                         "larger than HBM. 0 = auto: chunk when the f32 "
                         "working set exceeds ~12 GB")
+    p.add_argument("--metric", default=config.EvalConfig.from_env().exact_metric,
+                   choices=["dot", "l2"],
+                   help="ranking metric (EXACT_METRIC=DOT|L2 analogue, "
+                        "nvdb_ivf_eval.cpp:353): identical ids on normalized "
+                        "corpora; l2 is exact on un-normalized ones. l2 is "
+                        "device-path only")
     args = p.parse_args(argv)
+    if args.host and args.metric == "l2":
+        raise SystemExit("--host oracle is dot-metric only; drop --host or "
+                         "use --metric dot")
 
     bf = vecbin.VecbinFile(args.base)
     qf = vecbin.VecbinFile(args.query)
@@ -47,7 +56,8 @@ def main(argv=None):
 
             ids = build_ground_truth_chunked(args.base, qf.rows_f32(),
                                              args.k, batch=args.batch,
-                                             row_chunk=row_chunk)
+                                             row_chunk=row_chunk,
+                                             verbose=True, metric=args.metric)
         else:
             from nvdb_tpu.index.flat import build_ground_truth
             from nvdb_tpu.store import VectorStore
@@ -55,7 +65,8 @@ def main(argv=None):
             store = VectorStore.from_vecbin(args.base)
             ids = build_ground_truth(store, qf.rows_f32(), args.k,
                                      batch=args.batch,
-                                     backend=args.backend)
+                                     backend=args.backend,
+                                     metric=args.metric)
     dt = time.perf_counter() - t0
     gtbin.write_gtbin(args.out, ids, dim=bf.dim, N=bf.count)
     print(f"wrote GT [{qf.count} x {args.k}] over N={bf.count} in {dt:.2f}s "

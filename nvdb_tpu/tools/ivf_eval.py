@@ -66,6 +66,11 @@ def main(argv=None):
     p.add_argument("--ivf-backend", default="auto",
                    choices=["auto", "pallas", "jnp"],
                    help="ADC/refine kernel backend (A/B kill switch)")
+    p.add_argument("--exact-metric", default=eval_env.exact_metric,
+                   choices=["l2", "dot"],
+                   help="refine-stage ranking metric (EXACT_METRIC=L2|DOT "
+                        "analogue, nvdb_ivf_eval.cpp:353,436); identical "
+                        "ranks on normalized corpora")
     p.add_argument("--shards", type=int, default=1,
                    help=">1: shard inverted lists over this many devices "
                         "(nprobe becomes the TOTAL across shards)")
@@ -190,11 +195,13 @@ def main(argv=None):
                     return idx.search_device(block, args.k, nprobe,
                                              refine_k=refine_k,
                                              refine_store=refine_store,
-                                             backend=args.ivf_backend)
+                                             backend=args.ivf_backend,
+                                             refine_metric=args.exact_metric)
                 if is_pq:
                     return idx.search_device(block, args.k, nprobe,
                                              backend=args.ivf_backend)
-                return idx.search_device(block, args.k, nprobe)
+                return idx.search_device(block, args.k, nprobe,
+                                         backend=args.ivf_backend)
 
             np.asarray(fused(blocks[0])[1])  # compile + warm
             for w in range(min(args.warmup, n_batches)):
@@ -291,24 +298,35 @@ def main(argv=None):
 
             if args.shards > 1:
                 # sharded stage B: each shard reranks the candidate rows it
-                # owns from its local store shard (dist/sharded_ivf.py)
+                # owns from its local store shard (dist/sharded_ivf.py),
+                # through the same measured pallas/jnp crossover as the
+                # single-device stage (backend resolved above)
                 from nvdb_tpu.dist.sharded_ivf import sharded_refine
 
+                norms2 = (refine_store.norms2()
+                          if backend == "pallas" and args.exact_metric == "l2"
+                          else None)
+
                 if refine_store.scales is not None:
-                    def _srf(q, c, v, s):
-                        return sharded_refine(idx.mesh, q, c, v, s, args.k)
+                    def _srf(q, c, v, s, n2):
+                        return sharded_refine(idx.mesh, q, c, v, s, args.k,
+                                              metric=args.exact_metric,
+                                              backend=backend, norms2=n2)
                     _srf = jax.jit(_srf)
                     def refine_step(block, cblock):
                         v, i = _srf(jnp.asarray(block), jnp.asarray(cblock),
-                                    refine_store.vectors, refine_store.scales)
+                                    refine_store.vectors, refine_store.scales,
+                                    norms2)
                         return np.asarray(i)[:b]
                 else:
-                    def _srf(q, c, v):
-                        return sharded_refine(idx.mesh, q, c, v, None, args.k)
+                    def _srf(q, c, v, n2):
+                        return sharded_refine(idx.mesh, q, c, v, None, args.k,
+                                              metric=args.exact_metric,
+                                              backend=backend, norms2=n2)
                     _srf = jax.jit(_srf)
                     def refine_step(block, cblock):
                         v, i = _srf(jnp.asarray(block), jnp.asarray(cblock),
-                                    refine_store.vectors)
+                                    refine_store.vectors, norms2)
                         return np.asarray(i)[:b]
             else:
                 def refine_step(block, cblock):
@@ -316,7 +334,12 @@ def main(argv=None):
                                          jnp.asarray(cblock),
                                          refine_store.vectors,
                                          refine_store.scales,
-                                         args.k, backend=backend)
+                                         args.k, backend=backend,
+                                         norms2=(refine_store.norms2()
+                                                 if backend == "pallas"
+                                                 and args.exact_metric == "l2"
+                                                 else None),
+                                         metric=args.exact_metric)
                     return np.asarray(i)[:b]
 
             for w in range(min(args.warmup, n_batches)):

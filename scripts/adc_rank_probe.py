@@ -76,7 +76,13 @@ def main() -> None:
         return jnp.where(live, s, -jnp.inf).reshape(qb.shape[0], -1)
 
     qj = jnp.asarray(q)
-    cs = np.asarray(jnp.argsort(-(qj @ cents.T), axis=1)[:, :P])  # [Q, P]
+    # rank lists EXACTLY as the serving path does (_coarse_probes:
+    # argmax 2 q.c - ||c||^2 with empty lists masked) — plain-dot ranking
+    # probes a different set and biases the P(rank <= rk | covered)
+    # factor this probe exists to isolate (ADVICE r3)
+    from nvdb_tpu.index.ivf_flat import _coarse_probes  # noqa: E402
+
+    cs = np.asarray(_coarse_probes(qj, cents, jnp.asarray(slot_ids), P))
 
     rkmax = max(args.rk)
     hits = {r: 0 for r in args.rk}
