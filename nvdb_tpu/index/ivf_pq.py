@@ -64,7 +64,11 @@ def _ivfpq_search_block(
         # gather-free nibble one-hot kernel; LUT pre-split [B, P, M, 16, 16].
         # bf16 here is free precision-wise (the kernel rounds to bf16 for the
         # one-hot matmul anyway) and halves the [B, P, M, 256] slab — at
-        # B=256, P=64, m=96 that slab is 1.6 GB in f32, a real OOM risk
+        # B=256, P=64, m=96 that slab is 1.6 GB in f32, a real OOM risk.
+        # k > 128 widens the kernel's slot buffer to ceil(k/128) sublane
+        # rows (deep-k candidate generation past the old 128-lane refine
+        # ceiling, VERDICT r3 #2); the dma kernel's merge absorbs
+        # replicated duplicates in any row, so no post-pass dedup
         return adc_scan.pallas_adc_topk(
             lut.astype(jnp.bfloat16).reshape(B, nprobe, m, 16, 16),
             probes, codes, slot_ids, k, fills=fills, ids_mode=ids_mode)
@@ -194,6 +198,11 @@ class IVFPQIndex:
         # (FAISS trains PQ with 25 iters on ~256 pts/centroid)
         cb_train_size: Optional[int] = None,   # None -> min(n, 262144)
         cb_iters: int = 12,
+        # >0: corpus-scale Lloyd passes + dead-centroid reseeding after the
+        # subsample k-means (VERDICT r3 #3 — at 8M/nlist=16K the subsample
+        # quantizer left 11% of lists corpus-dead); costs one corpus
+        # upload per pass
+        corpus_refine_iters: int = 0,
     ) -> "IVFPQIndex":
         n, d = rows_f32.shape
         dp = round_up(d, 128)
@@ -233,6 +242,13 @@ class IVFPQIndex:
         key, kc = jax.random.split(key)
         cents, _ = kmeans.kmeans_fit(kc, jnp.asarray(data_rot[:t]), nlist,
                                      n_iters=n_iters)
+
+        if corpus_refine_iters > 0:
+            stage(f"corpus-scale Lloyd refinement "
+                  f"({corpus_refine_iters} passes)")
+            cents = kmeans.corpus_refine(
+                data_rot, cents, n_iters=corpus_refine_iters, seed=seed + 1,
+                log=lambda msg: stage(msg))
 
         stage("coarse assignment (top-S centroids, device-chunked)")
         S = min(spill_candidates, nlist)

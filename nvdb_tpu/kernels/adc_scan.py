@@ -82,7 +82,7 @@ def _score_list(codes_u8, lut3_bf16, m, lcap, slim: bool = False):
 
 
 def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = False,
-                 nch: int = 1):
+                 nch: int = 1, kr: int = 1):
     """g probed lists per grid step: their codes/slot-ids are DMA'd into
     VMEM scratch by scalar-prefetch-driven async copies (aligned: dim 0 of a
     3D HBM ref is untiled), scored one by one, and folded with ONE
@@ -153,19 +153,26 @@ def _make_kernel(k: int, m: int, lcap: int, g: int, slim: bool = False,
             s = s_scr[0:1]                                     # [1, g*L]
             sids = jnp.concatenate(parts_i, axis=1)
 
-        _fold_into_slots(s, sids, vals_scr, ids_scr, k)
+        _fold_into_slots(s, sids, vals_scr, ids_scr, k, kr)
 
         @pl.when(j == pl.num_programs(1) - 1)
         def _emit():
-            # one-time O(k * K_LANES) sort of the slot buffer, descending
-            sv, si = _merge_topk_sorted(vals_scr[0:1], ids_scr[0:1], k)
-            vals_out[0] = sv
-            ids_out[0] = si
+            if kr == 1:
+                # one-time O(k * K_LANES) sort of the slot buffer, descending
+                sv, si = _merge_topk_sorted(vals_scr[0:1], ids_scr[0:1], k)
+                vals_out[0] = sv
+                ids_out[0] = si
+            else:
+                # deep-k: emit the UNSORTED [kr, 128] slot rows; the caller
+                # top_k's them in XLA (a k-round in-kernel sort at k=256
+                # would double the one cost the kr-row design left flat)
+                vals_out[0] = vals_scr[0:kr]
+                ids_out[0] = ids_scr[0:kr]
 
     return kernel
 
 
-def _fold_into_slots(s, sids, vals_scr, ids_scr, k):
+def _fold_into_slots(s, sids, vals_scr, ids_scr, k, kr: int = 1):
     """Slot-buffer merge with count + dynamic extraction (the flat-scan
     "extract" strategy, flat_scan.py merge_scr): a fixed k-round sorted
     merge per probe made the per-(b,probe) step cost O(k) VPU passes —
@@ -173,11 +180,23 @@ def _fold_into_slots(s, sids, vals_scr, ids_scr, k):
     a 39 ms B=8 ANN batch at 1M. With the unsorted buffer + improver
     count, only the FIRST probed list (the coarse-nearest, which seeds
     most of the final top-k) pays ~k rounds; later lists pay ~their
-    improver count (1-3 in steady state)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K_LANES), 1)
-    live = lane < k
-    theta0 = jnp.min(jnp.where(live, vals_scr[0:1], POS_INF), axis=1,
-                     keepdims=True)
+    improver count (1-3 in steady state).
+
+    ``kr > 1`` widens the buffer to kr 128-lane SUBLANE rows (k up to
+    kr*128 — the deep-k refine-depth path, VERDICT r3 #2): every
+    reduction/select runs over the [kr, 128] tile instead of one lane
+    row, the winning slot is addressed by its flattened (row*128+lane)
+    position, and the k-th-best threshold / min-slot reduce over both
+    axes. Steady-state cost is unchanged (improver counts don't grow
+    with buffer width); only the seed list's initial fill pays ~k
+    rounds."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (kr, K_LANES), 1)
+    pos = lane if kr == 1 else (
+        jax.lax.broadcasted_iota(jnp.int32, (kr, K_LANES), 0) * K_LANES
+        + lane)
+    live = pos < k
+    theta0 = jnp.min(jnp.where(live, vals_scr[0:kr], POS_INF),
+                     axis=(0, 1), keepdims=True)         # [1, 1]
     cnt = jnp.sum((s > theta0).astype(jnp.int32))
     c = jnp.minimum(cnt, k)                              # traced scalar
 
@@ -195,25 +214,25 @@ def _fold_into_slots(s, sids, vals_scr, ids_scr, k):
         # round) matches only empty slots: zapping them is a no-op and
         # keep below is False.
         dup = ids_c == idv
-        old = jnp.max(jnp.where(dup, vals_c, NEG_INF), axis=1,
+        old = jnp.max(jnp.where(dup, vals_c, NEG_INF), axis=(0, 1),
                       keepdims=True)
         mx = jnp.maximum(mx, old)
         vals_c = jnp.where(dup, NEG_INF, vals_c)
         ids_c = jnp.where(dup, -1, ids_c)
-        vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+        vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=(0, 1),
                        keepdims=True)
         keep = mx > vmin
-        slot = jnp.max(jnp.where(live & (vals_c == vmin), lane, -1),
-                       axis=1, keepdims=True)
-        do = keep & (lane == slot)
+        slot = jnp.max(jnp.where(live & (vals_c == vmin), pos, -1),
+                       axis=(0, 1), keepdims=True)
+        do = keep & (pos == slot)
         vals_c = jnp.where(do, mx, vals_c)
         ids_c = jnp.where(do, idv, ids_c)
         return s_c, vals_c, ids_c
 
     _, vals1, ids1 = jax.lax.fori_loop(
-        0, c, body, (s, vals_scr[0:1], ids_scr[0:1]))
-    vals_scr[0:1] = vals1
-    ids_scr[0:1] = ids1
+        0, c, body, (s, vals_scr[0:kr], ids_scr[0:kr]))
+    vals_scr[0:kr] = vals1
+    ids_scr[0:kr] = ids1
 
 
 # plain ints: module-level jnp scalars are device arrays, which a pallas
@@ -243,17 +262,23 @@ def _dec(kk):
     return jax.lax.bitcast_convert_type(bd, jnp.float32)
 
 
-def _fold_keys_scr(e, vals_scr, ids_scr, k, coord_base):
+def _fold_keys_scr(e, vals_scr, ids_scr, k, coord_base, kr: int = 1):
     """Count + dynamic-extraction fold of packed ``(mono16(score)|lane)``
     int32 keys into the slot buffer (shared by the gen-5 key kernel and the
     gen-6 gathered kernel). Each round is a bare max-reduce + zap — 2
     full-width passes — and the winner's id costs ZERO passes: its packed
     coordinate ``coord_base + (key & 0xFFFF)`` is rebuilt arithmetically
-    from the max key and remapped to a row id OUTSIDE the kernel."""
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, K_LANES), 1)
-    live = lane128 < k
-    theta0 = jnp.min(jnp.where(live, vals_scr[0:1], POS_INF),
-                     axis=1, keepdims=True)
+    from the max key and remapped to a row id OUTSIDE the kernel.
+
+    ``kr > 1``: kr-sublane-row slot buffer for k up to kr*128 (deep-k
+    candidate generation) — see _fold_into_slots."""
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (kr, K_LANES), 1)
+    pos = lane128 if kr == 1 else (
+        jax.lax.broadcasted_iota(jnp.int32, (kr, K_LANES), 0) * K_LANES
+        + lane128)
+    live = pos < k
+    theta0 = jnp.min(jnp.where(live, vals_scr[0:kr], POS_INF),
+                     axis=(0, 1), keepdims=True)
     tkey = jnp.bitwise_or(jnp.bitwise_and(_enc(theta0), KMASK),
                           jnp.int32(0xFFFF))
     cnt = jnp.sum((e > tkey).astype(jnp.int32))
@@ -265,25 +290,25 @@ def _fold_keys_scr(e, vals_scr, ids_scr, k, coord_base):
         e_c = jnp.where(e_c == kmax, IMIN, e_c)
         mval = _dec(kmax)
         coord = jnp.bitwise_and(kmax, jnp.int32(0xFFFF)) + coord_base
-        vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=1,
+        vmin = jnp.min(jnp.where(live, vals_c, POS_INF), axis=(0, 1),
                        keepdims=True)
         ins = (mval > vmin) & (kmax > IMIN)
         slotl = jnp.max(jnp.where(live & (vals_c == vmin),
-                                  lane128, -1),
-                        axis=1, keepdims=True)
-        do = ins & (lane128 == slotl)
+                                  pos, -1),
+                        axis=(0, 1), keepdims=True)
+        do = ins & (pos == slotl)
         vals_c = jnp.where(do, mval, vals_c)
         ids_c = jnp.where(do, coord, ids_c)
         return e_c, vals_c, ids_c
 
     _, v1, i1 = jax.lax.fori_loop(
-        0, c, body, (e, vals_scr[0:1], ids_scr[0:1]))
-    vals_scr[0:1] = v1
-    ids_scr[0:1] = i1
+        0, c, body, (e, vals_scr[0:kr], ids_scr[0:kr]))
+    vals_scr[0:kr] = v1
+    ids_scr[0:kr] = i1
 
 
 def _make_kernel_keys(k: int, m: int, lcap: int, g: int, nch: int,
-                      total: int, p_orig: int, diag: str = ""):
+                      total: int, p_orig: int, diag: str = "", kr: int = 1):
     """ADC generation 5: derived slot keys + double-buffered codes DMA.
 
     Gen-4 profiling bounded scoring at ~1/5 of kernel time at the flagship
@@ -404,19 +429,23 @@ def _make_kernel_keys(k: int, m: int, lcap: int, g: int, nch: int,
                 vals_scr[0:1],
                 _dec(jnp.max(e)) + 0.0 * vals_scr[0:1])
         else:
-            _fold_keys_scr(e, vals_scr, ids_scr, k, j * (g * lcap))
+            _fold_keys_scr(e, vals_scr, ids_scr, k, j * (g * lcap), kr)
 
         @pl.when(j == nj - 1)
         def _emit():
-            sv, si = _merge_topk_sorted(vals_scr[0:1], ids_scr[0:1], k)
-            vals_out[0] = sv
-            ids_out[0] = si
+            if kr == 1:
+                sv, si = _merge_topk_sorted(vals_scr[0:1], ids_scr[0:1], k)
+                vals_out[0] = sv
+                ids_out[0] = si
+            else:
+                vals_out[0] = vals_scr[0:kr]   # unsorted; caller top_k's
+                ids_out[0] = ids_scr[0:kr]
 
     return kernel
 
 
 def _make_kernel_gather(k: int, m: int, lcap: int, g: int, nch: int,
-                        p_orig: int, diag: str = ""):
+                        p_orig: int, diag: str = "", kr: int = 1):
     """ADC generation 6: XLA-gathered codes, zero in-kernel DMA issue.
 
     The gen-5 diag decomposition left a ~10 ms "DMA+grid floor" at the
@@ -482,13 +511,17 @@ def _make_kernel_gather(k: int, m: int, lcap: int, g: int, nch: int,
                 vals_scr[0:1],
                 _dec(jnp.max(e)) + 0.0 * vals_scr[0:1])
         else:
-            _fold_keys_scr(e, vals_scr, ids_scr, k, j * (g * lcap))
+            _fold_keys_scr(e, vals_scr, ids_scr, k, j * (g * lcap), kr)
 
         @pl.when(j == nj - 1)
         def _emit():
-            sv, si = _merge_topk_sorted(vals_scr[0:1], ids_scr[0:1], k)
-            vals_out[0] = sv
-            ids_out[0] = si
+            if kr == 1:
+                sv, si = _merge_topk_sorted(vals_scr[0:1], ids_scr[0:1], k)
+                vals_out[0] = sv
+                ids_out[0] = si
+            else:
+                vals_out[0] = vals_scr[0:kr]   # unsorted; caller top_k's
+                ids_out[0] = ids_scr[0:kr]
 
     return kernel
 
@@ -552,8 +585,15 @@ def pallas_adc_topk(
     preconditions as 'key'."""
     B, P = probes.shape
     nlist, m, lcap = codes_t.shape
-    if k > K_LANES:
-        raise ValueError(f"k={k} exceeds the {K_LANES}-lane ADC slot buffer")
+    # k > 128 widens the slot buffer to ceil(k/128) sublane rows (the
+    # scratch allocates 8 = the VPU tile height, so k caps at 1024); the
+    # kernels then emit UNSORTED slots and the top-k sort happens here in
+    # XLA. Deep k exists for CANDIDATE GENERATION past the refine-depth
+    # ceiling (VERDICT r3 #2) — extraction stays count-driven, so only the
+    # seed list's fill pays the deeper buffer.
+    kr = -(-k // K_LANES)
+    if kr > 8:
+        raise ValueError(f"k={k} exceeds the 8x{K_LANES}-slot ADC buffer")
     if ids_mode not in ("dma", "key", "gather"):
         raise ValueError(
             f"ids_mode must be 'dma', 'key' or 'gather', got {ids_mode}")
@@ -606,23 +646,35 @@ def pallas_adc_topk(
         lut_spec = pl.BlockSpec((1, 1, g, m, 16, 16),
                                 lambda b, j, *pr: (b, j, 0, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
+    ow = k if kr == 1 else K_LANES   # kr>1: raw [kr, 128] slot rows out
     out_specs = [
-        pl.BlockSpec((1, 1, k), lambda b, j, *pr: (b, 0, 0),
+        pl.BlockSpec((1, kr, ow), lambda b, j, *pr: (b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, k), lambda b, j, *pr: (b, 0, 0),
+        pl.BlockSpec((1, kr, ow), lambda b, j, *pr: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((B, 1, k), jnp.float32),
-        jax.ShapeDtypeStruct((B, 1, k), jnp.int32),
+        jax.ShapeDtypeStruct((B, kr, ow), jnp.float32),
+        jax.ShapeDtypeStruct((B, kr, ow), jnp.int32),
     ]
+
+    def _finish(vals_raw, ids_raw):
+        """kr==1: kernels emit sorted [B, 1, k] already. kr>1: top-k the
+        raw slot rows (empty slots carry -inf/-1 and sort last, preserving
+        the scarce-candidates filler contract)."""
+        if kr == 1:
+            return vals_raw.reshape(B, k), ids_raw.reshape(B, k)
+        v, sel = jax.lax.top_k(vals_raw.reshape(B, kr * K_LANES), k)
+        i = jnp.take_along_axis(ids_raw.reshape(B, kr * K_LANES), sel,
+                                axis=1)
+        return v, jnp.where(v > NEG_INF, i, -1)
     params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary", "arbitrary"))
 
     if ids_mode in ("key", "gather"):
         if ids_mode == "key":
             kernel = _make_kernel_keys(k, m, lcap, g, nch, B * (P // g),
-                                       p_orig, diag)
+                                       p_orig, diag, kr)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(B, P // g),
@@ -650,7 +702,8 @@ def pallas_adc_topk(
             codes_spec = pl.BlockSpec(
                 (g, m, lcap), lambda b, j, *pr: (b * npg + j, 0, 0),
                 memory_space=pltpu.VMEM)
-            kernel = _make_kernel_gather(k, m, lcap, g, nch, p_orig, diag)
+            kernel = _make_kernel_gather(k, m, lcap, g, nch, p_orig, diag,
+                                         kr)
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(B, npg),
@@ -669,8 +722,8 @@ def pallas_adc_topk(
               lut.reshape(B, P // g, g, m, 16, 16), gcodes)
         # coordinates (j*W + w) -> row ids: one [B, k] remap through the
         # probe table and the flat slot-id array (no in-kernel id DMA)
+        vals_k, keys = _finish(out[0], out[1])
         W = g * lcap
-        keys = out[1].reshape(B, k)
         kk_ = jnp.clip(keys, 0)
         w = kk_ % W
         p = (kk_ // W) * g + w // lcap
@@ -680,9 +733,9 @@ def pallas_adc_topk(
             jnp.take(slot_ids.reshape(-1).astype(jnp.int32),
                      li * lcap + w % lcap, axis=0),
             -1)
-        return out[0].reshape(B, k), ids
+        return vals_k, ids
 
-    kernel = _make_kernel(k, m, lcap, g, slim, nch)
+    kernel = _make_kernel(k, m, lcap, g, slim, nch, kr)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, P // g),
@@ -708,4 +761,4 @@ def pallas_adc_topk(
     )(probes.astype(jnp.int32), fills.astype(jnp.int32),
       lut.reshape(B, P // g, g, m, 16, 16), codes_t,
       slot_ids.reshape(nlist, 1, lcap).astype(jnp.int32))
-    return out[0].reshape(B, k), out[1].reshape(B, k)
+    return _finish(out[0], out[1])

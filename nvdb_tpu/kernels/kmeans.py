@@ -164,3 +164,108 @@ def kmeans_fit(
     allow = jnp.arange(n_iters) < max(n_iters - 2, 1)
     cents, objs = jax.lax.scan(iteration, cents0, (keys, allow))
     return cents, objs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "inner"))
+def _corpus_partial(sums, counts, cents, chunk, k: int, inner: int = 8192):
+    """Accumulate one corpus chunk's Lloyd statistics ON DEVICE (the relay's
+    D2H path is MB/s-slow — downloading per-chunk [K, D] sums would dominate
+    the build; only the final centroids ever leave the device). The one-hot
+    update matmul runs over ``inner``-row sub-chunks so the [T, K] one-hot
+    slab stays VMEM/HBM-friendly at nlist=16K."""
+    n, d = chunk.shape
+    c = min(inner, n)
+    while n % c != 0:
+        c //= 2
+    xs = chunk.reshape(n // c, c, d)
+
+    def body(carry, sub):
+        sums, counts = carry
+        a = _assign_chunk(sub, cents)
+        onehot = jax.nn.one_hot(a, k, dtype=jnp.bfloat16)     # [c, K]
+        sums = sums + jax.lax.dot_general(
+            onehot, sub, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        counts = counts + jnp.sum(onehot, axis=0, dtype=jnp.float32)
+        return (sums, counts), None
+
+    (sums, counts), _ = jax.lax.scan(body, (sums, counts), xs)
+    return sums, counts
+
+
+@functools.partial(jax.jit, static_argnames=("k", "reseed"))
+def _corpus_update(cents, sums, counts, pool, k: int, reseed: bool):
+    """Finalize one corpus Lloyd pass: means where populated, and (when
+    ``reseed``) teleport DEAD centroids onto member points of the largest
+    clusters — the split-largest trick (kmeans_fit) re-run against the FULL
+    corpus counts instead of the training subsample's (VERDICT r3 #3: 11%
+    of the 8M coarse quantizer was dead weight the subsample couldn't
+    see)."""
+    new = jnp.where(counts[:, None] > 0.5,
+                    sums / jnp.maximum(counts, 1.0)[:, None], cents)
+    if not reseed:
+        return new
+    mean_count = jnp.sum(counts) / k
+    order_small = jnp.argsort(counts)
+    order_big = jnp.argsort(-counts)
+    # donors: corpus-dead (or starved far under their share); victims must
+    # be genuinely oversized so the split pays for itself
+    donor_ok = jnp.take(counts, order_small) < 0.05 * mean_count
+    victim_ok = jnp.take(counts, order_big) > 1.5 * mean_count
+    pair_ok = donor_ok & victim_ok
+    m_pool = pool.shape[0]
+    pool_a = _assign_chunk(pool, new)
+    first_row = jnp.full((k,), m_pool, jnp.int32).at[pool_a].min(
+        jnp.arange(m_pool, dtype=jnp.int32))
+    pick = jnp.take(first_row, order_big)
+    have_pt = pick < m_pool
+    donor_pos = jnp.take(pool, jnp.minimum(pick, m_pool - 1), axis=0)
+    ok2 = pair_ok & have_pt
+    return new.at[order_small].set(
+        jnp.where(ok2[:, None], donor_pos,
+                  jnp.take(new, order_small, axis=0)))
+
+
+def corpus_refine(
+    data: "np.ndarray | jax.Array",   # [N, Dp] host (streamed) or device
+    cents: jax.Array,                 # [K, Dp] f32, from kmeans_fit
+    n_iters: int = 2,
+    chunk: int = 262144,
+    pool_rows: int = 65536,
+    seed: int = 17,
+    log=None,
+) -> jax.Array:
+    """Corpus-scale Lloyd refinement of a subsample-trained coarse quantizer
+    (VERDICT r3 #3). Streams the FULL corpus through ``n_iters`` exact Lloyd
+    passes (host chunks -> device, statistics accumulated on device), and
+    after every pass but the last reseeds corpus-dead centroids onto member
+    points of the largest clusters, so the final pass settles pure-Lloyd.
+
+    Rationale: kmeans_fit's split-largest runs on the training subsample; at
+    8M/nlist=16384 a 1M subsample leaves 11% of lists empty on the full
+    corpus (BENCHMARKS §4d) — capacity the probe ranking must mask and the
+    live lists absorb as overfullness, which feeds the nprobe-dilution
+    effect. Cost: one corpus upload per pass (the build already streams the
+    corpus twice); only [K, D] centroids ever come back down."""
+    import numpy as np
+
+    k, d = cents.shape
+    n = data.shape[0]
+    rng = np.random.default_rng(seed)
+    pool_idx = np.sort(rng.choice(n, size=min(pool_rows, n), replace=False))
+    pool = jnp.asarray(np.asarray(data[pool_idx], np.float32))
+
+    for it in range(n_iters):
+        sums = jnp.zeros((k, d), jnp.float32)
+        counts = jnp.zeros((k,), jnp.float32)
+        for s in range(0, n, chunk):
+            sums, counts = _corpus_partial(
+                sums, counts, cents, jnp.asarray(
+                    np.asarray(data[s : s + chunk], np.float32)), k)
+        cents = _corpus_update(cents, sums, counts, pool, k,
+                               reseed=it < n_iters - 1)
+        if log is not None:
+            dead = int(jnp.sum(counts < 0.5))
+            log(f"corpus_refine pass {it + 1}/{n_iters}: dead={dead} "
+                f"({100.0 * dead / k:.2f}%)")
+    return cents

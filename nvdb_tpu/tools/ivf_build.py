@@ -47,6 +47,11 @@ def main(argv=None):
                         "top-R lists (replicated assignment; codes are cheap, "
                         "R=2 ~doubles coverage per probe)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--corpus-refine", type=int, default=0, metavar="ITERS",
+                   help=">0: corpus-scale Lloyd passes + dead-centroid "
+                        "reseeding after the subsample k-means (one corpus "
+                        "upload per pass; reclaims lists the subsample "
+                        "quantizer left corpus-dead)")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -83,13 +88,15 @@ def main(argv=None):
         idx = IVFFlatIndex.build(
             rows, nlist=args.nlist, dtype=args.dtype, train_size=args.train,
             n_iters=args.iters, pad_factor=args.pad_factor,
-            spill_candidates=args.spill_candidates, seed=args.seed)
+            spill_candidates=args.spill_candidates, seed=args.seed,
+            corpus_refine_iters=args.corpus_refine)
     else:
         idx = IVFPQIndex.build(
             rows, nlist=args.nlist, m=args.pq_m, use_opq=args.opq,
             train_size=args.train, n_iters=args.iters, opq_iters=args.opq_iters,
             pad_factor=args.pad_factor,
-            spill_candidates=args.spill_candidates, seed=args.seed)
+            spill_candidates=args.spill_candidates, seed=args.seed,
+            corpus_refine_iters=args.corpus_refine)
     dt = time.perf_counter() - t0
     idx.save(args.out)
     print(f"built {args.kind} nlist={getattr(idx, 'nlist', args.nlist)} "

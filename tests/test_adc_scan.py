@@ -258,3 +258,78 @@ def test_pallas_adc_replicated_ids_share_one_slot():
     pi = np.asarray(pi)[0]
     assert (pi >= 0).all(), pi               # no -1 filler
     assert len(set(pi.tolist())) == k        # unique ids
+
+
+def test_pallas_adc_deep_k_256(built):
+    """k=256 = two slot-buffer sublane rows (the deep-k refine-depth path):
+    the kernel's ADC top-256 must match the exact jnp top-256 up to bf16
+    LUT-rounding ties (measured 0.996+ overlap for the rounding alone),
+    ids unique, scores sorted descending."""
+    idx, qp = built
+    k, nprobe = 256, 16
+    jv, ji = _run(idx, qp, k, nprobe, "jnp")
+    pv, pi = _run(idx, qp, k, nprobe, "pallas")
+    jv, ji = np.asarray(jv), np.asarray(ji)
+    pv, pi = np.asarray(pv), np.asarray(pi)
+    for r in range(ji.shape[0]):
+        got = set(pi[r].tolist())
+        assert len(got) == k                     # unique
+        assert set(ji[r, :128].tolist()) <= got, r
+        inter = len(set(ji[r].tolist()) & got)
+        assert inter >= int(0.98 * k), (r, inter)
+        assert (np.diff(pv[r]) <= 1e-6).all()    # sorted descending
+    np.testing.assert_allclose(pv, jv, rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_adc_deep_k_192(built):
+    """Non-multiple-of-128 depth (k=192: row 1 half-live) and an odd probe
+    count."""
+    idx, qp = built
+    jv, ji = _run(idx, qp, 192, 15, "jnp")
+    pv, pi = _run(idx, qp, 192, 15, "pallas")
+    ji, pi = np.asarray(ji), np.asarray(pi)
+    for r in range(ji.shape[0]):
+        got = set(pi[r].tolist())
+        assert len(got) == 192
+        assert set(ji[r, :128].tolist()) <= got
+        inter = len(set(ji[r].tolist()) & got)
+        assert inter >= int(0.98 * 192), (r, inter)
+
+
+def test_pallas_adc_deep_end_to_end_refine(built):
+    """refine_k=256 through the pallas backend: full probing + f32 refine
+    must recover the exact top-10 and agree with the jnp backend."""
+    idx, qp = built
+    base = synth.low_rank(6000, 128, intrinsic=16, n_clusters=64, seed=3)
+
+    class _Store:
+        vectors = jnp.asarray(
+            np.pad(base, ((0, 0), (0, idx.centroids.shape[1] - 128))))
+        scales = None
+
+    v_j, i_j = idx.search_device(qp, 10, nprobe=16, refine_k=256,
+                                 refine_store=_Store, backend="jnp")
+    v_p, i_p = idx.search_device(qp, 10, nprobe=16, refine_k=256,
+                                 refine_store=_Store, backend="pallas")
+    agree = np.mean(np.asarray(i_j) == np.asarray(i_p))
+    assert agree > 0.95, agree
+
+
+def test_pallas_adc_deep_replicated_dedup():
+    """Deep-k over a replicated index: a row's two copies can improve the
+    buffer in different rounds — the widened merge must still absorb the
+    duplicate (id-equality check spans all slot rows)."""
+    from nvdb_tpu.formats import synth as _synth
+
+    base = _synth.low_rank(4000, 64, intrinsic=8, n_clusters=32, seed=9)
+    one = IVFPQIndex.build(base, nlist=16, m=8, use_opq=False, n_iters=4,
+                           seed=7, train_size=4000)
+    rep = IVFPQIndex.repack(one, base, pad_factor=2.0, replicas=2)
+    qp = np.zeros((8, rep.centroids.shape[1]), np.float32)
+    queries, _ = _synth.sample_queries(base, 8, seed=10, perturb=0.02)
+    qp[:, :64] = queries
+    pv, pi = _run(rep, jnp.asarray(qp), 192, 16, "pallas")
+    pi = np.asarray(pi)
+    for row in pi:
+        live = [i for i in row.tolist() if i >= 0]
+        assert len(live) == len(set(live))       # no duplicate ids

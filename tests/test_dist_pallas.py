@@ -190,8 +190,10 @@ def test_sharded_ivfpq_sharded_refine_pallas(mesh8, data):
     dp = sh.centroids.shape[1]
     qp = np.zeros((16, dp), np.float32)
     qp[:, : base.shape[1]] = queries
+    # refine_k=192 > 128 also exercises the deep-k (two-slot-row) ADC
+    # kernel inside shard_map
     _, ids = sh.search_device(jnp.asarray(qp), 10, nprobe=sh.nlist,
-                              refine_k=128, refine_store=store,
+                              refine_k=192, refine_store=store,
                               backend="pallas")
     got64 = np.take_along_axis(s64, np.asarray(ids).astype(np.int64), axis=1)
     ref64 = np.take_along_axis(s64, ref_ids, axis=1)
