@@ -100,6 +100,27 @@ class PartitionRerankIndex:
                                   metric="dot")
         return np.asarray(rv), np.asarray(ri)
 
+    def search_device(self, queries, k: int, nprobe: int,
+                      rerank_k: int = 0, backend: str = "auto"):
+        """Device-resident serving path: padded [B, Dp] on-device queries in,
+        device arrays out — probe + optional exact rerank fused in one
+        program chain, no host sync (the loop shape the reference's HNSW
+        eval times per query, nvdb_hnsw_eval.cpp:165-199; here batches
+        chain on-device like ivf_eval --chained)."""
+        if rerank_k <= k or self.refine_store is None:
+            return self.ivf.search_device(queries, k, nprobe,
+                                          backend=backend)
+        import jax.numpy as jnp
+
+        from nvdb_tpu.kernels import dispatch
+
+        _, cid = self.ivf.search_device(queries, rerank_k, nprobe,
+                                        backend=backend)
+        store = self.refine_store
+        return dispatch.exact_refine(queries, cid.astype(jnp.int32),
+                                     store.vectors, store.scales, k,
+                                     metric="dot")
+
     def save(self, path: str) -> None:
         """Persist the self-contained search structure (the saveIndex parity,
         nvdb_hnsw_build.cpp:51). The refine store is rebuilt from the base

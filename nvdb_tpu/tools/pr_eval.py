@@ -33,6 +33,16 @@ def main(argv=None):
     p.add_argument("--shards", type=int, default=1,
                    help=">1: shard partitions over this many devices "
                         "(nprobe becomes the TOTAL across shards)")
+    p.add_argument("--chained", action="store_true",
+                   help="serving-shaped timing: pre-staged device query "
+                        "blocks, batches chained on-device with no host "
+                        "sync (the ivf_eval --chained loop) — the "
+                        "like-for-like latency row next to the reference's "
+                        "HNSW eval table (Performance.md:450-466)")
+    p.add_argument("--wave", type=int, default=0,
+                   help="with --chained: fetch every WAVE-th batch so "
+                        "per-wave completion timestamps yield rtt-inclusive "
+                        "p50/p95/p99")
     args = p.parse_args(argv)
     setup_jax(args)
 
@@ -73,7 +83,68 @@ def main(argv=None):
             idx, meshmod.row_mesh(args.shards))
         kind = f"partition-rerank-sharded{args.shards}"
 
+    if args.chained and args.shards > 1:
+        raise SystemExit("--chained is the single-device serving loop; "
+                         "use ivf_eval --shards for sharded timing")
+
     for np_ in args.nprobe:
+        if args.chained:
+            import time as _time
+
+            import jax
+            import jax.numpy as jnp
+
+            from nvdb_tpu.eval.stats import compute_stats
+
+            b = max(args.batch_q, 1)
+            Q = queries.shape[0]
+            dp = idx.ivf.centroids.shape[1]
+            n_batches = (Q + b - 1) // b
+            blocks = []
+            for s in range(n_batches):
+                blk = np.zeros((b, dp), np.float32)
+                qs = queries[s * b:(s + 1) * b]
+                blk[: qs.shape[0], : qs.shape[1]] = qs
+                blocks.append(jax.device_put(jnp.asarray(blk)))
+
+            def fused(block, np_=np_):
+                return idx.search_device(block, args.k, np_,
+                                         rerank_k=args.rerank_k)
+
+            np.asarray(fused(blocks[0])[1])   # compile + warm
+            for w in range(min(args.warmup, n_batches)):
+                np.asarray(fused(blocks[w])[1])
+            t0 = _time.perf_counter()
+            outs = []
+            wave_ts = [t0]
+            for s, x in enumerate(blocks):
+                outs.append(fused(x))
+                if args.wave > 0 and (s + 1) % args.wave == 0:
+                    np.asarray(outs[-1][1])   # rtt-inclusive wave close
+                    wave_ts.append(_time.perf_counter())
+            np.asarray(outs[-1][1])           # trailing fetch
+            dt = _time.perf_counter() - t0
+            final_ids = np.concatenate(
+                [np.asarray(i)[:, : args.k] for _, i in outs])[:Q]
+            recall = recall_at_k(final_ids, gt_ids, k=args.k)
+            ms_q = dt * 1000.0 / (n_batches * b)
+            extra = {}
+            if args.wave > 0 and len(wave_ts) > 2:
+                wl = np.diff(np.asarray(wave_ts))[1:] * 1000.0
+                ws = compute_stats(list(wl), n_queries=len(wl), batch_q=1)
+                extra = dict(wave=args.wave, wave_p50_ms=ws.p50_ms,
+                             wave_p95_ms=ws.p95_ms, wave_p99_ms=ws.p99_ms,
+                             p99_ms_per_q=ws.p99_ms / (args.wave * b))
+            print(f"\n--- nprobe={np_} (rerank_k={args.rerank_k}, "
+                  f"chained) ---")
+            print(f"recall@{args.k}={recall:.4f}")
+            print(result_line(
+                kind=kind, nprobe=np_, rerank_k=args.rerank_k,
+                Q=Q, k=args.k, dtype=args.dtype, batch_q=b, chained=1,
+                total_avg_ms=ms_q, qps=1000.0 / ms_q if ms_q > 0 else 0.0,
+                recall=recall, index_mb=idx.index_bytes / 1e6, **extra))
+            continue
+
         def search_fn(qs, k, np_=np_):
             return idx.search(qs, k, np_, rerank_k=args.rerank_k)
 

@@ -73,25 +73,51 @@ def main():
     jv, ji = ops.scan_topk(q, jnp.asarray(base), None, N, k)
     ji = np.asarray(ji)
 
-    for name, (vecs, s, merge, gate) in {
-        "flat_f32_extract": (jnp.asarray(base), None, "extract", 1.0),
-        "flat_bf16_extract": (bf, None, "extract", 0.9),
-        "flat_bf16_key": (bf, None, "key", 0.9),
-        "flat_i8_extract": (i8, scj, "extract", 0.85),
-    }.items():
-        pv, pi = pallas_flat_topk(q, vecs, s, N, k, tile_rows=2048,
-                                  merge=merge)
-        m = np.mean(np.asarray(pi) == ji)
-        ok(name, m >= gate, f"id_match={m:.3f}")
+    # score-REGRET gate (VERDICT r3 weak #7): bare id-overlap thresholds
+    # pass a genuine ranking regression that stays inside the tolerance
+    # band. Instead: re-score the returned ids under the mode's EFFECTIVE
+    # store in f64 and require achieved-score-at-rank >= oracle-score-at-
+    # rank - tol, where tol is the mode's score granularity (0 for f32
+    # paths, ~1 bf16 ulp of the ~1.0 score scale for bf16-granular modes).
+    # A deliberate off-by-one tile id returns ids whose true scores sit far
+    # below the oracle's — regret catches it at any overlap level.
+    q64 = np.asarray(q, np.float64)
 
-    # qi8 (int8 queries, int8 store)
+    def regret(ids, eff64, q_eff=None):
+        s64 = (q64 if q_eff is None else q_eff) @ eff64.T      # [B, N]
+        ach = -np.sort(-np.take_along_axis(
+            s64, np.asarray(ids, np.int64), axis=1), axis=1)   # [B, k]
+        ref = -np.sort(-s64, axis=1)[:, :k]
+        return float((ref - ach).max())
+
+    eff_f32 = base.astype(np.float64)
+    eff_bf16 = np.asarray(bf, np.float64)
+    eff_i8 = (np.asarray(i8, np.float64) * sc[:, None].astype(np.float64))
+
+    for name, (qq, vecs, s, merge, eff, tol) in {
+        # f32 path ranks exactly: zero regret up to f32 summation noise
+        "flat_f32_extract": (q, jnp.asarray(base), None, "extract",
+                             eff_f32, 1e-5),
+        # bf16 store, f32 accumulate: regret <= ~1 bf16 ulp at |s|~1
+        "flat_bf16_extract": (q, bf, None, "extract", eff_bf16, 4.5e-3),
+        "flat_bf16_key": (q, bf, None, "key", eff_bf16, 4.5e-3),
+        # i8 store: kernel scores q(bf16) x dequant rows — bf16 granular
+        "flat_i8_extract": (q, i8, scj, "extract", eff_i8, 4.5e-3),
+    }.items():
+        pv, pi = pallas_flat_topk(qq, vecs, s, N, k, tile_rows=2048,
+                                  merge=merge)
+        r = regret(pi, eff)
+        ok(name, r <= tol, f"score_regret={r:.2e} (tol {tol:.0e})")
+
+    # qi8 (int8 queries, int8 store): oracle uses the QUANTIZED queries too
     qa = jnp.max(jnp.abs(q), axis=1)
     qs = jnp.where(qa > 0, qa / 127.0, 1.0)
     qi = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
     pv, pi = pallas_flat_topk(qi, i8, scj, N, k, tile_rows=2048,
                               query_scales=qs)
-    m = np.mean(np.asarray(pi) == ji)
-    ok("flat_qi8_extract", m >= 0.7, f"id_match={m:.3f}")
+    q_eff = (np.asarray(qi, np.float64) * np.asarray(qs, np.float64)[:, None])
+    r = regret(pi, eff_i8, q_eff=q_eff)
+    ok("flat_qi8_extract", r <= 4.5e-3, f"score_regret={r:.2e}")
 
     # ---- rerank kernel ---------------------------------------------------
     R = 64
@@ -115,8 +141,14 @@ def main():
     vj, ij = ivf.search_device(jnp.asarray(qp), k, nprobe=16, backend="jnp")
     vp, ip = ivf.search_device(jnp.asarray(qp), k, nprobe=16,
                                backend="pallas")
-    m = np.mean(np.asarray(ip) == np.asarray(ij))
-    ok("ivf_probe_bf16", m >= 0.95, f"id_match={m:.3f}")
+    # same probes, same bf16 payload: the pallas kernel's achieved true
+    # scores may trail the jnp block's only by its bf16 query rounding
+    sj = -np.sort(-np.take_along_axis(
+        q64 @ eff_bf16.T, np.asarray(ij, np.int64), axis=1), axis=1)
+    sp = -np.sort(-np.take_along_axis(
+        q64 @ eff_bf16.T, np.asarray(ip, np.int64), axis=1), axis=1)
+    r = float((sj - sp).max())
+    ok("ivf_probe_bf16", r <= 4.5e-3, f"score_regret={r:.2e}")
 
     # ---- ADC kernel (+ fused refine path) --------------------------------
     from nvdb_tpu.index.ivf_pq import IVFPQIndex

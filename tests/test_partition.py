@@ -59,3 +59,31 @@ def test_auto_nlist_scales(data):
     base, _, _ = data
     idx = PartitionRerankIndex.build(base[:4000], with_refine=False, n_iters=4)
     assert 16 <= idx.ivf.nlist <= 8192
+
+
+def test_search_device_matches_host_search():
+    """The chained-serving device path (probe + fused exact rerank, no host
+    sync) must return the same ids as the host search wrapper."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from nvdb_tpu.formats import synth
+    from nvdb_tpu.index.partition import PartitionRerankIndex
+
+    base = synth.clustered(4000, 64, n_clusters=16, seed=41)
+    queries, _ = synth.sample_queries(base, 16, seed=42, perturb=0.05)
+    idx = PartitionRerankIndex.build(base, nlist=32, with_refine=True, seed=6)
+
+    hv, hi = idx.search(queries, 10, nprobe=8, rerank_k=50)
+    dp = idx.ivf.centroids.shape[1]
+    qp = np.zeros((16, dp), np.float32)
+    qp[:, :64] = queries
+    dv, di = idx.search_device(jax.device_put(jnp.asarray(qp)), 10,
+                               nprobe=8, rerank_k=50)
+    np.testing.assert_array_equal(np.asarray(di), hi)
+    np.testing.assert_allclose(np.asarray(dv), hv, rtol=1e-5, atol=1e-5)
+
+    # rerank_k <= k: plain probe path
+    hv2, hi2 = idx.search(queries, 10, nprobe=8)
+    dv2, di2 = idx.search_device(jnp.asarray(qp), 10, nprobe=8)
+    np.testing.assert_array_equal(np.asarray(di2), hi2)
