@@ -262,8 +262,12 @@ def corpus_refine(
             sums, counts = _corpus_partial(
                 sums, counts, cents, jnp.asarray(
                     np.asarray(data[s : s + chunk], np.float32)), k)
+        # reseed between passes so the last pass settles pure-Lloyd; with
+        # a single pass, reseed anyway — an unsettled reseed onto a data
+        # point still reclaims the dead list (the point is its own nearest
+        # row), which is the whole purpose of the pass
         cents = _corpus_update(cents, sums, counts, pool, k,
-                               reseed=it < n_iters - 1)
+                               reseed=(n_iters == 1 or it < n_iters - 1))
         if log is not None:
             dead = int(jnp.sum(counts < 0.5))
             log(f"corpus_refine pass {it + 1}/{n_iters}: dead={dead} "

@@ -167,3 +167,22 @@ def test_exact_refine_seam_backends_agree(monkeypatch):
     assert dispatch.refine_backend(1, 1) == "jnp"
     monkeypatch.setenv("NVDB_REFINE_BACKEND", "pallas")
     assert dispatch.refine_backend(10**6, 10**3) == "pallas"
+
+
+def test_rerank_deep_candidate_input_r256():
+    """R=256 candidate inputs (the deep-k ADC generator's output width):
+    the id-driven-DMA rerank must stay exact at the widened stage-B input."""
+    rng = np.random.default_rng(11)
+    N, D, B, R, k = 4096, 256, 8, 256, 10
+    base = rng.standard_normal((N, D), dtype=np.float32)
+    q = rng.standard_normal((B, D), dtype=np.float32)
+    cand = np.stack([rng.choice(N, R, replace=False) for _ in range(B)]
+                    ).astype(np.int32)
+    cand[1, 200:] = -1
+    pv, pi = pallas_rerank(jnp.asarray(q), jnp.asarray(cand),
+                           jnp.asarray(base), None, k)
+    jv, ji = ops.exact_rerank(jnp.asarray(q), _gathered(base, cand),
+                              jnp.asarray(cand), k)
+    assert np.mean(np.asarray(pi) == np.asarray(ji)) == 1.0
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(jv),
+                               rtol=1e-4, atol=1e-4)
