@@ -93,7 +93,7 @@ def _ivfpq_search_block(
 
 @functools.partial(jax.jit, static_argnames=("k", "backend", "metric"))
 def _refine_block(
-    queries: jax.Array,       # [B, Dp] UN-rotated queries
+    queries: jax.Array,       # [B, Dp] queries IN THE STORE'S SPACE (see note)
     cand_ids: jax.Array,      # [B, R] int32 (-1 padded)
     vectors: jax.Array,       # [Np, Dp] flat store payload
     scales,                   # [Np] | None
@@ -101,6 +101,8 @@ def _refine_block(
     backend: str = "jnp",
     norms2=None,              # [Np] f32 (VectorStore.norms2) for pallas
     metric: str = "l2",       # EXACT_METRIC=L2|DOT (nvdb_ivf_eval.cpp:353,436)
+    res_cents=None,           # residual-i8 store: [nlist, Dp] f32
+    res_ids=None,             # residual-i8 store: [Np] int32
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact rerank of ADC candidates against the full-precision store —
     the cuda_l2_topk_batch role (cuda_refine.cu:839-1175), fused on-device.
@@ -108,16 +110,25 @@ def _refine_block(
     copies (kernels/rerank.py) instead of materializing the [B, R, Dp]
     gather slab in HBM. metric="l2" ranks by 2 q.r - ||r||^2 (the default,
     matching refine_topk_l2_ids); "dot" by the scaled dot product — on
-    normalized corpora the ranks coincide (gtbin_format.h:11-15)."""
+    normalized corpora the ranks coincide (gtbin_format.h:11-15).
+
+    Residual-i8 stores (res_cents/res_ids set, store.is_residual): rows
+    dequantize as cent + s*codes — the residual's ~1.8x smaller quant step
+    moves the 8M refine ceiling .9760 -> .9900 at the same byte budget.
+    ``queries`` must then be in the store's ROTATED space (callers pass
+    q_rot; the dot is rotation-invariant so scores are unchanged)."""
     if backend == "pallas":
         from nvdb_tpu.kernels.rerank import pallas_rerank
 
         return pallas_rerank(queries, cand_ids, vectors, scales, k,
-                             norms2=norms2, metric=metric)
+                             norms2=norms2, metric=metric,
+                             res_cents=res_cents, res_ids=res_ids)
     safe = jnp.maximum(cand_ids, 0)
     rows = jnp.take(vectors, safe, axis=0).astype(jnp.float32)   # [B, R, Dp]
     if scales is not None:
         rows = rows * jnp.take(scales, safe, axis=0)[:, :, None]
+    if res_cents is not None:
+        rows = rows + jnp.take(res_cents, jnp.take(res_ids, safe), axis=0)
     return ops.exact_rerank(queries, rows, cand_ids, k, metric=metric)
 
 
@@ -444,12 +455,17 @@ class IVFPQIndex:
             from nvdb_tpu.kernels.dispatch import refine_backend
             rb = (refine_backend(queries.shape[0], refine_k)
                   if backend == "pallas" else backend)
+            # residual-i8 refine stores dequantize vs the index's ROTATED
+            # centroids — score them with q_rot (dot is rotation-invariant)
+            residual = getattr(refine_store, "is_residual", False)
             v, i = _refine_block(
-                queries, i[:, :refine_k],
+                q_rot if residual else queries, i[:, :refine_k],
                 refine_store.vectors, refine_store.scales, k, backend=rb,
                 norms2=(refine_store.norms2()
                         if rb == "pallas" and refine_metric == "l2" else None),
-                metric=refine_metric)
+                metric=refine_metric,
+                res_cents=refine_store.res_cents if residual else None,
+                res_ids=refine_store.res_ids if residual else None)
         return v[:, :k], i[:, :k]
 
     def search(

@@ -110,23 +110,29 @@ def exact_refine(
     metric: str = "dot",
     norms2: Optional[jax.Array] = None,
     backend: Optional[str] = None,
+    res_cents: Optional[jax.Array] = None,  # residual-i8 store (see rerank)
+    res_ids: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact rerank of candidate ids against the full store, routed through
     the measured pallas-vs-jnp crossover (``refine_backend``). The single
     seam for every refine call site — the exact-i8 flat mode and the IVF
     stage B both land here, so neither can silently ride the losing kernel
-    (VERDICT r2 weak #2)."""
+    (VERDICT r2 weak #2). Residual-i8 stores: pass res_cents/res_ids and
+    queries in the store's rotated space."""
     if backend is None:
         backend = refine_backend(queries.shape[0], cand_ids.shape[1])
     if backend == "pallas":
         from nvdb_tpu.kernels.rerank import pallas_rerank
 
         return pallas_rerank(queries, cand_ids, vectors, scales, k,
-                             metric=metric, norms2=norms2)
+                             metric=metric, norms2=norms2,
+                             res_cents=res_cents, res_ids=res_ids)
     import jax.numpy as jnp
 
     safe = jnp.maximum(cand_ids, 0)
     rows = jnp.take(vectors, safe, axis=0).astype(jnp.float32)
     if scales is not None:
         rows = rows * jnp.take(scales, safe, axis=0)[:, :, None]
+    if res_cents is not None:
+        rows = rows + jnp.take(res_cents, jnp.take(res_ids, safe), axis=0)
     return ops.exact_rerank(queries, rows, cand_ids, k, metric=metric)

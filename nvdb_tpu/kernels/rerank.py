@@ -195,6 +195,8 @@ def pallas_rerank(
     norms2: Optional[jax.Array] = None,  # [Np] f32 (store_norms2); else computed
     metric: str = "l2",     # "l2" (2*dot - ||row||^2) | "dot"
     interpret: Optional[bool] = None,
+    res_cents: Optional[jax.Array] = None,  # residual store: [nlist, Dp] f32
+    res_ids: Optional[jax.Array] = None,    # residual store: [Np] int32
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k over each query's candidate rows. metric="l2" scores by
     2*dot - ||row||^2 (monotone in -L2); metric="dot" by the plain scaled
@@ -232,11 +234,22 @@ def pallas_rerank(
 
     if metric not in ("l2", "dot"):
         raise ValueError(f"unknown metric {metric!r}")
+    if res_cents is not None and (scales is None or res_ids is None):
+        raise ValueError("residual stores need scales and res_ids")
     if norms2 is None and metric == "l2":
+        if res_cents is not None:
+            raise ValueError("residual + metric='l2' requires the store's "
+                             "DEQUANTIZED norms2 (VectorStore.norms2())")
         norms2 = store_norms2(vectors)
 
     # per-candidate score coefficients, folded XLA-side so the kernel is
-    # dtype- and metric-oblivious: score = amul * dot(q, raw_row) - boff
+    # dtype- and metric-oblivious: score = amul * dot(q, raw_row) - boff.
+    # Residual stores fold entirely into the affine form too: row = cent +
+    # s*codes, and the kernel's dot runs over the raw codes, so
+    #   dot:  score = s*dot + q.cent            -> amul=s,  boff=-q.cent
+    #   l2:   score = 2s*dot + 2 q.cent - ||row||^2
+    #                                           -> amul=2s, boff=n2-2q.cent
+    # with q.cent one [B, nlist] matmul + a [B, R] gather — no kernel change
     safe = jnp.maximum(cand_ids, 0)
     sc = None
     if scales is not None:
@@ -244,12 +257,23 @@ def pallas_rerank(
                       constant_values=1.0) if scales.shape[0] != np_pad \
             else scales
         sc = jnp.take(scp, safe).astype(jnp.float32)
+    qcent = None
+    if res_cents is not None:
+        qc_full = jnp.dot(queries, res_cents.T,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)  # [Bp, nlist]
+        rid = jnp.take(res_ids, safe)                           # [Bp, Rp]
+        qcent = jnp.take_along_axis(qc_full, rid, axis=1)
     if metric == "dot":
         amul = sc if sc is not None else jnp.ones(cand_ids.shape, jnp.float32)
-        boff = jnp.zeros(cand_ids.shape, jnp.float32)
+        boff = (-qcent if qcent is not None
+                else jnp.zeros(cand_ids.shape, jnp.float32))
     else:
         n2c = jnp.take(norms2, safe)                          # [Bp, Rp]
-        if sc is not None:
+        if qcent is not None:
+            amul = 2.0 * sc
+            boff = n2c - 2.0 * qcent
+        elif sc is not None:
             amul = 2.0 * sc
             boff = sc * sc * n2c
         else:

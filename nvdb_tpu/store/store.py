@@ -35,6 +35,26 @@ _JNP_BY_CODE = {
 DEFAULT_ROW_BLOCK = 4096  # divisible tile sizes up to the VMEM-model max
 
 
+@jax.jit
+def _residual_norms2(vectors, scales, res_cents, res_ids):
+    """[Np] f32 squared norms of DEQUANTIZED residual-store rows
+    (cent + s*codes), chunked so the f32 dequant slab stays bounded."""
+    n = vectors.shape[0]
+    c = 65536
+    while n % c != 0:
+        c //= 2
+
+    def f(args):
+        v, s, i = args
+        row = jnp.take(res_cents, i, axis=0) + v.astype(jnp.float32) * s[:, None]
+        return jnp.sum(row * row, axis=1)
+
+    d = vectors.shape[1]
+    return jax.lax.map(f, (vectors.reshape(n // c, c, d),
+                           scales.reshape(n // c, c),
+                           res_ids.reshape(n // c, c))).reshape(n)
+
+
 @dataclasses.dataclass
 class VectorStore:
     """Device-resident base matrix.
@@ -56,12 +76,54 @@ class VectorStore:
     # applied at score time) — the rerank kernel's precomputed-norm input
     _norms2: Optional[jax.Array] = dataclasses.field(
         default=None, repr=False, compare=False)
+    # RESIDUAL-i8 refine store (r4): ``vectors`` hold int8 residuals vs a
+    # coarse centroid — dequant row i = res_cents[res_ids[i]] + scales[i] *
+    # vectors[i]. Halving the quantization step this way moves the 8M
+    # refine ceiling .9760 -> .9900 at the SAME byte budget (measured,
+    # BENCHMARKS r4): residual amax is ~1.8x smaller than row amax on the
+    # hard corpus. Centroids live in the source quantizer's ROTATED space,
+    # so queries scoring a residual store must be rotated the same way
+    # (callers pass q_rot; orthogonal rotation preserves the dot).
+    res_cents: Optional[jax.Array] = dataclasses.field(
+        default=None, repr=False, compare=False)   # [nlist, Dp] f32
+    res_ids: Optional[jax.Array] = dataclasses.field(
+        default=None, repr=False, compare=False)   # [Np] int32
+
+    @property
+    def is_residual(self) -> bool:
+        return self.res_cents is not None
 
     def norms2(self) -> jax.Array:
         if self._norms2 is None:
             from nvdb_tpu.kernels.rerank import store_norms2
-            self._norms2 = jax.jit(store_norms2)(self.vectors)
+            if self.is_residual:
+                # DEQUANTIZED row norms (cent + s*codes): the l2-metric
+                # rerank needs the true ||row||^2, not the code norms
+                self._norms2 = _residual_norms2(
+                    self.vectors, self.scales, self.res_cents, self.res_ids)
+            else:
+                self._norms2 = jax.jit(store_norms2)(self.vectors)
         return self._norms2
+
+    def attach_residual(self, cents: np.ndarray, list_of: np.ndarray
+                        ) -> "VectorStore":
+        """Mark an int8 store as RESIDUAL codes vs ``cents`` (host arrays:
+        the coarse centroids [nlist, >=d] and per-row list ids [n]); padding
+        rows map to centroid 0 with scale 1 (never gathered — candidate ids
+        are always valid rows)."""
+        assert self.dtype_code == vecbin.DTYPE_I8, "residual stores are i8"
+        dp = self.d_padded
+        c = np.zeros((cents.shape[0], dp), np.float32)
+        c[:, : min(cents.shape[1], dp)] = cents[:, :dp]
+        ids = np.zeros((self.n_padded,), np.int32)
+        ids[: self.n] = list_of[: self.n]
+        # res_ids follow the payload's row sharding (the sharded refine's
+        # in_spec is P(ROWS)); centroids replicate like queries
+        id_sharding = _row_sharding_1d(self.vectors.sharding)
+        self.res_cents = jax.device_put(jnp.asarray(c))
+        self.res_ids = jax.device_put(jnp.asarray(ids), id_sharding)
+        self._norms2 = None
+        return self
 
     # -- constructors --------------------------------------------------------
 

@@ -71,6 +71,12 @@ def main(argv=None):
                    help="refine-stage ranking metric (EXACT_METRIC=L2|DOT "
                         "analogue, nvdb_ivf_eval.cpp:353,436); identical "
                         "ranks on normalized corpora")
+    p.add_argument("--residual-refine", action="store_true",
+                   help="the refine vecbin holds RESIDUAL i8 codes vs this "
+                        "index's coarse centroids (quantize_i8 --residual): "
+                        "dequant adds the centroid back and the refine "
+                        "scores rotated queries — ~1.8x finer quantization "
+                        "at the same byte budget (8M ceiling .976 -> .990)")
     p.add_argument("--shards", type=int, default=1,
                    help=">1: shard inverted lists over this many devices "
                         "(nprobe becomes the TOTAL across shards)")
@@ -148,6 +154,12 @@ def main(argv=None):
                 n_shards=args.shards)
         else:
             refine_store = VectorStore.from_vecbin(args.base)
+        if args.residual_refine:
+            # pair the residual codes with THIS index's centroids/lists
+            # (host npz read: no D2H of the device index arrays)
+            from nvdb_tpu.tools.quantize_i8 import residual_params
+            r_cents, _, r_list_of = residual_params(args.index)
+            refine_store.attach_residual(r_cents, r_list_of)
 
     print(f"kind={kind} nlist={idx.nlist} lcap={idx.lcap} N={idx.n} d={idx.d} "
           f"Q={Q} k={args.k} index_MB={idx.index_bytes/1e6:.1f}")
@@ -296,6 +308,17 @@ def main(argv=None):
             elif args.device_queries:
                 cblocks = [jax.device_put(jnp.asarray(x)) for x in cblocks]
 
+            residual = getattr(refine_store, "is_residual", False)
+            rot_dev = getattr(idx, "rotation", None) if residual else None
+            r_cents = refine_store.res_cents if residual else None
+            r_ids = refine_store.res_ids if residual else None
+
+            def _rq(block):
+                # residual codes live in the index's rotated space: rotate
+                # the refine queries once per block (dot is rot-invariant)
+                q = jnp.asarray(block)
+                return q @ rot_dev if rot_dev is not None else q
+
             if args.shards > 1:
                 # sharded stage B: each shard reranks the candidate rows it
                 # owns from its local store shard (dist/sharded_ivf.py),
@@ -311,10 +334,12 @@ def main(argv=None):
                     def _srf(q, c, v, s, n2):
                         return sharded_refine(idx.mesh, q, c, v, s, args.k,
                                               metric=args.exact_metric,
-                                              backend=backend, norms2=n2)
+                                              backend=backend, norms2=n2,
+                                              res_cents=r_cents,
+                                              res_ids=r_ids)
                     _srf = jax.jit(_srf)
                     def refine_step(block, cblock):
-                        v, i = _srf(jnp.asarray(block), jnp.asarray(cblock),
+                        v, i = _srf(_rq(block), jnp.asarray(cblock),
                                     refine_store.vectors, refine_store.scales,
                                     norms2)
                         return np.asarray(i)[:b]
@@ -325,12 +350,12 @@ def main(argv=None):
                                               backend=backend, norms2=n2)
                     _srf = jax.jit(_srf)
                     def refine_step(block, cblock):
-                        v, i = _srf(jnp.asarray(block), jnp.asarray(cblock),
+                        v, i = _srf(_rq(block), jnp.asarray(cblock),
                                     refine_store.vectors, norms2)
                         return np.asarray(i)[:b]
             else:
                 def refine_step(block, cblock):
-                    v, i = _refine_block(jnp.asarray(block),
+                    v, i = _refine_block(_rq(block),
                                          jnp.asarray(cblock),
                                          refine_store.vectors,
                                          refine_store.scales,
@@ -339,7 +364,8 @@ def main(argv=None):
                                                  if backend == "pallas"
                                                  and args.exact_metric == "l2"
                                                  else None),
-                                         metric=args.exact_metric)
+                                         metric=args.exact_metric,
+                                         res_cents=r_cents, res_ids=r_ids)
                     return np.asarray(i)[:b]
 
             for w in range(min(args.warmup, n_batches)):

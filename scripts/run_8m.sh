@@ -48,9 +48,12 @@ fi
 if [[ $stage == build || $stage == all ]]; then
   # pad_factor=2 over mean list N/nlist=488 -> lcap=1024: the 1M flagship's
   # ADC kernel shape (m=96, lcap=1024), so the TPU compile cache carries over.
+  # CR>0: corpus-scale Lloyd + dead-centroid reseeding (one corpus upload
+  # per pass; reclaims the ~11% of lists the 1M subsample left dead at 8M)
   [ -s "$IDX" ] || python -m nvdb_tpu.tools.ivf_build "$BASE" "$IDX" \
       --kind ivfpq --nlist "$NLIST" --pq-m 96 --opq \
-      --pad-factor 2.0 --spill-candidates 8 --train 1000000
+      --pad-factor 2.0 --spill-candidates 8 --train 1000000 \
+      --corpus-refine "${CR:-0}"
 fi
 
 if [[ $stage == eval || $stage == all ]]; then

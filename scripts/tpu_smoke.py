@@ -131,6 +131,30 @@ def main():
     m = np.mean(np.asarray(pi) == np.asarray(ji2))
     ok("rerank_bf16", m == 1.0, f"id_match={m:.3f}")
 
+    # rerank over a RESIDUAL-i8 store: the affine fold adds q.cent via
+    # boff — new XLA-side coefficients + the same kernel; compare against
+    # the jnp dequant oracle over cent + s*codes
+    kc = 64
+    rngr = np.random.default_rng(3)
+    cent_of = rngr.integers(0, kc, N).astype(np.int32)
+    r_cents = base[rngr.choice(N, kc, replace=False)].astype(np.float32) * 0.9
+    resid = base - r_cents[cent_of]
+    ram = np.abs(resid).max(axis=1)
+    rsc = (np.maximum(ram, 1e-12) / 127).astype(np.float32)
+    rcodes = np.clip(np.round(resid / rsc[:, None]), -127, 127).astype(np.int8)
+    deq = r_cents[cent_of] + rcodes.astype(np.float32) * rsc[:, None]
+    from nvdb_tpu.store.store import _residual_norms2
+    n2r = _residual_norms2(jnp.asarray(rcodes), jnp.asarray(rsc),
+                           jnp.asarray(r_cents), jnp.asarray(cent_of))
+    pv, pi = pallas_rerank(q, jnp.asarray(cand), jnp.asarray(rcodes),
+                           jnp.asarray(rsc), k, norms2=n2r, metric="l2",
+                           res_cents=jnp.asarray(r_cents),
+                           res_ids=jnp.asarray(cent_of))
+    jv3, ji3 = ops.exact_rerank(q, jnp.asarray(deq[cand]), jnp.asarray(cand),
+                                k, metric="l2")
+    m = np.mean(np.asarray(pi) == np.asarray(ji3))
+    ok("rerank_residual_i8", m == 1.0, f"id_match={m:.3f}")
+
     # ---- IVF probe kernel ------------------------------------------------
     from nvdb_tpu.index.ivf_flat import IVFFlatIndex
 
