@@ -56,11 +56,29 @@ if [[ $stage == build || $stage == all ]]; then
       --corpus-refine "${CR:-0}"
 fi
 
+RES_I8="$W/base_res_i8_$(basename "$IDX" .npz).vecbin"
+
+if [[ $stage == resq || $stage == all ]]; then
+  # Residual-int8 refine store (round 4): quantize residuals vs THIS
+  # index's coarse centroids — ~1.8x smaller amax, so the same 6.2 GB
+  # byte budget ranks finer (refine ceiling .9760 plain -> .9900+).
+  [ -s "$RES_I8" ] || python -m nvdb_tpu.tools.quantize_i8 --cpu \
+      "$BASE" "$RES_I8" --residual "$IDX"
+fi
+
 if [[ $stage == eval || $stage == all ]]; then
-  # Refine store = the int8 vecbin (6.2 GB in HBM vs 24.6 f32 / 12.3 bf16):
+  # Refine store = an int8 vecbin (6.2 GB in HBM vs 24.6 f32 / 12.3 bf16):
   # recall is still scored against the exact f32 GT, so the i8-dequant
-  # rerank's ranking economy is measured, not assumed.
-  python -m nvdb_tpu.tools.ivf_eval "$IDX" "$I8" "$QRY" --gt "$GT" \
-      --k "$K" --nprobe ${NPROBE:-64 128} --refine-k ${RK:-50 100} \
-      --batch-q "${BQ:-64}" --chained --wave "${WAVE:-4}"
+  # rerank's ranking economy is measured, not assumed. RES=1 (default when
+  # the residual store exists) reranks residual codes vs the index's coarse
+  # centroids at the same byte budget.
+  if [[ "${RES:-auto}" != 0 && -s "$RES_I8" ]]; then
+    python -m nvdb_tpu.tools.ivf_eval "$IDX" "$RES_I8" "$QRY" --gt "$GT" \
+        --k "$K" --nprobe ${NPROBE:-64 128} --refine-k ${RK:-50 100} \
+        --batch-q "${BQ:-64}" --chained --wave "${WAVE:-4}" --residual-refine
+  else
+    python -m nvdb_tpu.tools.ivf_eval "$IDX" "$I8" "$QRY" --gt "$GT" \
+        --k "$K" --nprobe ${NPROBE:-64 128} --refine-k ${RK:-50 100} \
+        --batch-q "${BQ:-64}" --chained --wave "${WAVE:-4}"
+  fi
 fi
