@@ -80,6 +80,12 @@ def main(argv=None):
     p.add_argument("--shards", type=int, default=1,
                    help=">1: shard inverted lists over this many devices "
                         "(nprobe becomes the TOTAL across shards)")
+    p.add_argument("--force-sharded", action="store_true",
+                   help="run the shard_map serving path even at --shards 1: "
+                        "measures the sharded code path (per-shard Pallas "
+                        "kernels + all_gather merge) on one device, so its "
+                        "per-shard ANN cost is comparable to the "
+                        "single-device rows without a multi-chip slice")
     p.add_argument("--device-queries", action="store_true",
                    help="serving-path timing: query blocks (and stage-B "
                         "candidate ids) are staged to HBM before the timed "
@@ -115,7 +121,8 @@ def main(argv=None):
     idx = (IVFPQIndex.load(args.index) if is_pq else IVFFlatIndex.load(args.index))
     kind = "ivfpq" if is_pq else "ivfflat"
 
-    if args.shards > 1:
+    sharded = args.shards > 1 or args.force_sharded
+    if sharded:
         from nvdb_tpu.dist import mesh as meshmod
 
         if is_pq:
@@ -144,7 +151,7 @@ def main(argv=None):
     refine_ks = [0] if args.ann_only else list(args.refine_k)
     refine_store = None
     if max(refine_ks) > 0 and is_pq:
-        if args.shards > 1:
+        if sharded:
             # shard the refine store with the lists: the refine stage then
             # runs sharded (each shard reranks the rows it owns) — the 100M
             # configuration where no device holds the full flat store
@@ -189,7 +196,7 @@ def main(argv=None):
             return block
 
         blocks = [_pad_block(qpad[s * b:(s + 1) * b]) for s in range(n_batches)]
-        if args.shards > 1:
+        if sharded:
             # replicated placement over the index's mesh: required under a
             # multi-process runtime (an uncommitted local array cannot feed
             # a global-mesh shard_map), harmless single-process
@@ -300,7 +307,7 @@ def main(argv=None):
 
             cblocks = [_pad_cand(cand[s * b:(s + 1) * b])
                        for s in range(n_batches)]
-            if args.shards > 1:
+            if sharded:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 rep = NamedSharding(idx.mesh, P())
                 cblocks = [jax.device_put(jnp.asarray(x), rep)
@@ -319,7 +326,7 @@ def main(argv=None):
                 q = jnp.asarray(block)
                 return q @ rot_dev if rot_dev is not None else q
 
-            if args.shards > 1:
+            if sharded:
                 # sharded stage B: each shard reranks the candidate rows it
                 # owns from its local store shard (dist/sharded_ivf.py),
                 # through the same measured pallas/jnp crossover as the

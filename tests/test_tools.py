@@ -180,3 +180,24 @@ def test_ivf_build_eval_pipeline(files, capsys):
                     "--pad-factor", "4.0", "--spill-candidates", "8"])
     out = capsys.readouterr().out
     assert "spilled=" in out
+
+
+def test_ivf_eval_force_sharded(files, capsys):
+    """--force-sharded runs the shard_map serving path on a 1-device mesh:
+    the per-shard-Pallas-kernel path measured without a multi-chip slice."""
+    from nvdb_tpu.tools import ivf_build, ivf_eval
+
+    d, base, q, gt = files
+    idx = str(d / "ivfpq_fs.npz")
+    ivf_build.main([base, idx, "--kind", "ivfpq", "--nlist", "16",
+                    "--pq-m", "8", "--no-opq", "--iters", "4"])
+    capsys.readouterr()
+    ivf_eval.main([idx, base, q, "--gt", gt, "--k", "5",
+                   "--nprobe", "8", "--refine-k", "20",
+                   "--batch-q", "8", "--warmup", "1", "--chained",
+                   "--force-sharded"])
+    out = capsys.readouterr().out
+    assert "kind=ivfpq-sharded1" in out
+    rl = [l for l in out.splitlines() if l.startswith("RESULT")]
+    assert len(rl) == 1 and "chained=1" in rl[0]
+    assert float(rl[0].split("recall=")[1].split()[0]) >= 0.5
