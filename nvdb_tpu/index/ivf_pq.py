@@ -412,7 +412,8 @@ class IVFPQIndex:
                       refine_k: int = 0, refine_store=None,
                       backend: str = "auto",
                       for_refine: bool = False,
-                      refine_metric: str = "l2"
+                      refine_metric: str = "l2",
+                      ids_mode: Optional[str] = None,
                       ) -> Tuple[jax.Array, jax.Array]:
         """Device-resident path: padded on-device queries in, device arrays out
         (coarse -> ADC -> optional fused exact refine, one program chain).
@@ -421,7 +422,14 @@ class IVFPQIndex:
         exact-refine stage will re-score (ivf_eval's staged stage A): the
         gen-5 packed-key kernel (bf16-granular ranking) is then eligible
         even though refine_k == 0 here. ``refine_metric`` is the
-        EXACT_METRIC=L2|DOT knob of the refine stage."""
+        EXACT_METRIC=L2|DOT knob of the refine stage.
+
+        ``ids_mode`` overrides the candidate-generator pick (None = auto:
+        'key' for refine candidates when prefix-packed, else 'dma'). The
+        key kernel ranks at bf16 granularity, which at 8M costs a measured
+        ~.004 recall below the exact-f32 candidate ceiling at deep
+        refine_k; ids_mode='dma' buys that back for ~15% more ANN time
+        (BENCHMARKS.md round-4 8M ladder)."""
         if backend == "auto":
             from nvdb_tpu.kernels.dispatch import default_backend
             backend = default_backend()
@@ -443,10 +451,11 @@ class IVFPQIndex:
                                    # CANDIDATE GENERATOR (refine re-scores
                                    # in f32); ADC-only searches keep the
                                    # exact-f32-ranking DMA kernel
-                                   ids_mode=(self.ids_mode()
-                                             if backend == "pallas"
-                                             and (refine_k > 0 or for_refine)
-                                             else "dma"))
+                                   ids_mode=(ids_mode or
+                                             (self.ids_mode()
+                                              if backend == "pallas"
+                                              and (refine_k > 0 or for_refine)
+                                              else "dma")))
         if refine_k > 0:
             if refine_store is None:
                 raise ValueError("refine_k > 0 requires refine_store")

@@ -66,6 +66,13 @@ def main(argv=None):
     p.add_argument("--ivf-backend", default="auto",
                    choices=["auto", "pallas", "jnp"],
                    help="ADC/refine kernel backend (A/B kill switch)")
+    p.add_argument("--ids-mode", default=None,
+                   choices=["dma", "key", "gather"],
+                   help="override the ADC candidate-generator id strategy: "
+                        "'key' ranks candidates at bf16 granularity (fast "
+                        "extraction), 'dma' at exact f32 — at 8M deep "
+                        "refine_k the key mode costs ~.004 recall below "
+                        "the f32 candidate ceiling; default: auto")
     p.add_argument("--exact-metric", default=eval_env.exact_metric,
                    choices=["l2", "dot"],
                    help="refine-stage ranking metric (EXACT_METRIC=L2|DOT "
@@ -206,6 +213,11 @@ def main(argv=None):
         elif args.device_queries or args.chained:
             blocks = [jax.device_put(jnp.asarray(x)) for x in blocks]
 
+        # --ids-mode: only the single-device IVFPQ path exposes the override
+        # (the sharded path resolves ids_mode per shard)
+        im_kw = ({"ids_mode": args.ids_mode}
+                 if args.ids_mode and is_pq and not sharded else {})
+
         if args.chained:
             import time as _time
 
@@ -215,10 +227,12 @@ def main(argv=None):
                                              refine_k=refine_k,
                                              refine_store=refine_store,
                                              backend=args.ivf_backend,
-                                             refine_metric=args.exact_metric)
+                                             refine_metric=args.exact_metric,
+                                             **im_kw)
                 if is_pq:
                     return idx.search_device(block, args.k, nprobe,
-                                             backend=args.ivf_backend)
+                                             backend=args.ivf_backend,
+                                             **im_kw)
                 return idx.search_device(block, args.k, nprobe,
                                          backend=args.ivf_backend)
 
@@ -261,6 +275,7 @@ def main(argv=None):
             print(result_line(
                 kind=kind, refine_k=refine_k, nprobe=nprobe, Q=Q, k=args.k,
                 batch_q=b, backend=args.ivf_backend, chained=1,
+                **({"ids_mode": args.ids_mode} if args.ids_mode else {}),
                 refine_enabled=int(do_refine), refine_backend="tpu-fused",
                 total_avg_ms=ms_q, qps=1000.0 / ms_q if ms_q > 0 else 0.0,
                 recall=recall, index_mb=idx.index_bytes / 1e6, **extra))
@@ -272,7 +287,7 @@ def main(argv=None):
                 # so stage A may use the packed-key candidate generator
                 v, i = idx.search_device(jnp.asarray(block), kk, nprobe,
                                          backend=args.ivf_backend,
-                                         for_refine=do_refine)
+                                         for_refine=do_refine, **im_kw)
             else:
                 v, i = idx.search_device(jnp.asarray(block), kk, nprobe)
             return np.asarray(i)[:b]
@@ -411,6 +426,7 @@ def main(argv=None):
         print(result_line(
             kind=kind, refine_k=refine_k, nprobe=nprobe, Q=Q, k=args.k,
             batch_q=b, backend=args.ivf_backend,
+            **({"ids_mode": args.ids_mode} if args.ids_mode else {}),
             device_queries=int(args.device_queries),
             refine_enabled=int(do_refine), refine_backend="tpu-fused",
             ann_avg_ms=ann_stats.avg_ms, ann_p99_ms=ann_stats.p99_ms,

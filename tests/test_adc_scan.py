@@ -314,6 +314,14 @@ def test_pallas_adc_deep_end_to_end_refine(built):
     agree = np.mean(np.asarray(i_j) == np.asarray(i_p))
     assert agree > 0.95, agree
 
+    # ids_mode="dma" override: exact-f32 candidate ranking end to end —
+    # after the f32 refine it must also recover the jnp top-10
+    v_d, i_d = idx.search_device(qp, 10, nprobe=16, refine_k=256,
+                                 refine_store=_Store, backend="pallas",
+                                 ids_mode="dma")
+    agree_d = np.mean(np.asarray(i_j) == np.asarray(i_d))
+    assert agree_d > 0.95, agree_d
+
 
 def test_pallas_adc_deep_replicated_dedup():
     """Deep-k over a replicated index: a row's two copies can improve the
