@@ -433,6 +433,15 @@ class IVFPQIndex:
         if backend == "auto":
             from nvdb_tpu.kernels.dispatch import default_backend
             backend = default_backend()
+        # The key/gather kernels derive ids as list*lcap+lane, which is only
+        # correct on prefix-packed, replicas==1 indexes (pallas_adc_topk's
+        # "callers must guard" contract) — a forced override on any other
+        # index would silently return wrong ids.
+        if ids_mode in ("key", "gather") and self.ids_mode() != "key":
+            raise ValueError(
+                f"ids_mode={ids_mode!r} requires a prefix-packed index with "
+                f"replicas == 1 (this index: replicas={self.replicas}, "
+                f"auto mode {self.ids_mode()!r}); use ids_mode='dma' or None")
         nprobe = min(nprobe, self.nlist)
         if refine_k > 0:
             # refining fewer than k candidates can't produce k results
@@ -484,8 +493,15 @@ class IVFPQIndex:
         nprobe: int,
         refine_k: int = 0,             # REFINE_K analogue; 0 = ADC ranking only
         refine_store=None,             # VectorStore with original vectors
-        q_chunk: int = 8,
+        q_chunk: int = 256,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Host convenience path: numpy in/out, one device dispatch per
+        ``q_chunk`` queries (padded up to the power-of-two bucket so the
+        compile cache stays small). Each dispatch pays the ~1.3 ms relay
+        overhead, so the default chunk is large (256, not 8): at Q=1000 the
+        old q_chunk=8 default spent ~8x more dispatches than compute. The
+        device/chained paths (search_device, ivf_eval --chained) remain the
+        real serving story."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         qn = queries.shape[0]
         dp = self.centroids.shape[1]

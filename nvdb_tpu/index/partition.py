@@ -28,7 +28,6 @@ from typing import Optional, Tuple
 import numpy as np
 
 from nvdb_tpu.index.ivf_flat import IVFFlatIndex
-from nvdb_tpu.kernels import ops
 from nvdb_tpu.store import VectorStore
 from nvdb_tpu.eval.recall import recall_at_k
 
@@ -67,6 +66,7 @@ class PartitionRerankIndex:
         pad_factor: float = 2.0,
         spill_candidates: int = 8,
         seed: int = 0,
+        refine_dtype: str = "f32",     # "f32" | "res_i8"
     ) -> "PartitionRerankIndex":
         n = rows_f32.shape[0]
         if nlist is None:
@@ -78,8 +78,37 @@ class PartitionRerankIndex:
                                  pad_factor=pad_factor,
                                  spill_candidates=spill_candidates,
                                  seed=seed)
-        store = VectorStore.from_numpy(rows_f32, "f32") if with_refine else None
+        store = None
+        if with_refine and refine_dtype == "res_i8":
+            store = cls._residual_store(rows_f32, ivf)
+        elif with_refine:
+            store = VectorStore.from_numpy(rows_f32, "f32")
         return cls(ivf=ivf, refine_store=store)
+
+    @staticmethod
+    def _residual_store(rows_f32: np.ndarray, ivf: IVFFlatIndex
+                        ) -> VectorStore:
+        """Residual-i8 refine store vs the index's OWN partition centroids
+        (the round-4 residual trick, `quantize_i8 --residual`): the partition
+        assignment already names each row's nearest centroid, and residual
+        amax is ~1.8x smaller than row amax on clustered corpora, so the
+        same 1 byte/dim ranks ~2x finer than plain-i8 — and 4x smaller
+        than the f32 store this index shipped with through round 4."""
+        from nvdb_tpu.formats import vecbin as _vb
+
+        n = rows_f32.shape[0]
+        sids = np.asarray(ivf.slot_ids)
+        li, si = np.nonzero(sids >= 0)
+        list_of = np.zeros(n, np.int32)
+        list_of[sids[li, si]] = li.astype(np.int32)
+        cents = np.asarray(ivf.centroids, np.float32)    # [nlist, Dp]
+        dp = cents.shape[1]
+        if rows_f32.shape[1] != dp:
+            rows_f32 = np.pad(rows_f32,
+                              ((0, 0), (0, dp - rows_f32.shape[1])))
+        codes, sc = _vb.quantize_i8(rows_f32 - cents[list_of])
+        store = VectorStore.from_numpy(codes, "i8", scales=sc)
+        return store.attach_residual(cents, list_of)
 
     def search(self, queries: np.ndarray, k: int, nprobe: int,
                rerank_k: int = 0) -> Tuple[np.ndarray, np.ndarray]:
@@ -93,11 +122,13 @@ class PartitionRerankIndex:
         store = self.refine_store
         if store is None:
             return vals[:, :k], ids[:, :k]
+        from nvdb_tpu.kernels import dispatch
+
         q = jnp.asarray(store.pad_queries(np.atleast_2d(queries)))
         cid = jnp.asarray(ids, dtype=jnp.int32)
-        rows = jnp.take(store.vectors, jnp.maximum(cid, 0), axis=0)
-        rv, ri = ops.exact_rerank(q, rows.astype(jnp.float32), cid, k,
-                                  metric="dot")
+        rv, ri = dispatch.exact_refine(
+            q, cid, store.vectors, store.scales, k, metric="dot",
+            res_cents=store.res_cents, res_ids=store.res_ids)
         return np.asarray(rv), np.asarray(ri)
 
     def search_device(self, queries, k: int, nprobe: int,
@@ -119,7 +150,9 @@ class PartitionRerankIndex:
         store = self.refine_store
         return dispatch.exact_refine(queries, cid.astype(jnp.int32),
                                      store.vectors, store.scales, k,
-                                     metric="dot")
+                                     metric="dot",
+                                     res_cents=store.res_cents,
+                                     res_ids=store.res_ids)
 
     def save(self, path: str) -> None:
         """Persist the self-contained search structure (the saveIndex parity,

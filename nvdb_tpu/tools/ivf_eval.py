@@ -217,6 +217,10 @@ def main(argv=None):
         # (the sharded path resolves ids_mode per shard)
         im_kw = ({"ids_mode": args.ids_mode}
                  if args.ids_mode and is_pq and not sharded else {})
+        if args.ids_mode and not im_kw:
+            print(f"WARNING: --ids-mode {args.ids_mode} ignored "
+                  f"({'sharded' if sharded else 'non-PQ'} path resolves "
+                  f"ids_mode itself); RESULT lines will not carry it")
 
         if args.chained:
             import time as _time
@@ -275,7 +279,7 @@ def main(argv=None):
             print(result_line(
                 kind=kind, refine_k=refine_k, nprobe=nprobe, Q=Q, k=args.k,
                 batch_q=b, backend=args.ivf_backend, chained=1,
-                **({"ids_mode": args.ids_mode} if args.ids_mode else {}),
+                **im_kw,
                 refine_enabled=int(do_refine), refine_backend="tpu-fused",
                 total_avg_ms=ms_q, qps=1000.0 / ms_q if ms_q > 0 else 0.0,
                 recall=recall, index_mb=idx.index_bytes / 1e6, **extra))
@@ -426,7 +430,7 @@ def main(argv=None):
         print(result_line(
             kind=kind, refine_k=refine_k, nprobe=nprobe, Q=Q, k=args.k,
             batch_q=b, backend=args.ivf_backend,
-            **({"ids_mode": args.ids_mode} if args.ids_mode else {}),
+            **im_kw,
             device_queries=int(args.device_queries),
             refine_enabled=int(do_refine), refine_backend="tpu-fused",
             ann_avg_ms=ann_stats.avg_ms, ann_p99_ms=ann_stats.p99_ms,

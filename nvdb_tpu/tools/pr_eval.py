@@ -24,6 +24,11 @@ def main(argv=None):
     p.add_argument("--nlist", type=int, default=None)
     p.add_argument("--rerank-k", type=int, default=0)
     p.add_argument("--dtype", default="bf16", choices=["f32", "bf16", "i8"])
+    p.add_argument("--refine-dtype", default="f32",
+                   choices=["f32", "res_i8"],
+                   help="rerank store: exact f32, or residual-i8 vs the "
+                        "partition centroids (4x smaller, near-equal "
+                        "ranking — the round-4 residual-store trick)")
     p.add_argument("--gt", default=None,
                    help="cached gtbin; omitted = exact GT built on the fly")
     p.add_argument("--batch-q", type=int, default=8)
@@ -56,7 +61,8 @@ def main(argv=None):
     queries = qf.rows_f32()
 
     idx = PartitionRerankIndex.build(rows, nlist=args.nlist, dtype=args.dtype,
-                                     with_refine=args.rerank_k > 0)
+                                     with_refine=args.rerank_k > 0,
+                                     refine_dtype=args.refine_dtype)
     print(f"partitions={idx.ivf.nlist} lcap={idx.ivf.lcap} "
           f"index_MB={idx.index_bytes/1e6:.1f} N={idx.n}")
     kind = "partition-rerank"
@@ -140,7 +146,8 @@ def main(argv=None):
             print(f"recall@{args.k}={recall:.4f}")
             print(result_line(
                 kind=kind, nprobe=np_, rerank_k=args.rerank_k,
-                Q=Q, k=args.k, dtype=args.dtype, batch_q=b, chained=1,
+                Q=Q, k=args.k, dtype=args.dtype,
+                refine_dtype=args.refine_dtype, batch_q=b, chained=1,
                 total_avg_ms=ms_q, qps=1000.0 / ms_q if ms_q > 0 else 0.0,
                 recall=recall, index_mb=idx.index_bytes / 1e6, **extra))
             continue
@@ -157,6 +164,7 @@ def main(argv=None):
         print(result_line(
             kind=kind, nprobe=np_, rerank_k=args.rerank_k,
             Q=queries.shape[0], k=args.k, dtype=args.dtype,
+            refine_dtype=args.refine_dtype,
             avg_ms=stats.avg_ms, p99_ms=stats.p99_ms, qps=stats.qps,
             recall=recall, index_mb=idx.index_bytes / 1e6))
 

@@ -211,32 +211,65 @@ def main():
            and np.array_equal(np.asarray(fi), np.asarray(ci)))
     ok("adc_chunk_skip", bit, f"lcap={lc} chunk={ch}")
 
+    # f64 ADC oracle over the COVERED (probed) slots — the regret yardstick
+    # for every ids_mode (VERDICT r4 #5: the old overlap>=0.9 /
+    # bit-identical-to-key gates inherit a 5% id-churn band a genuine merge
+    # bug can hide inside; achieved-score regret vs the exact oracle
+    # catches e.g. a deliberate _fold_keys_scr mis-ranking at ANY overlap).
+    # The kernels' only legitimate approximations are bf16 LUT rounding
+    # (all modes) + bf16 score packing (key/gather); both are O(1 bf16 ulp)
+    # of the ~1-scale ADC score, so the tolerance is a tight 1.5e-2.
+    lut64 = np.asarray(lut, np.float64)
+    probes_np = np.asarray(probes)
+    codes_np = np.asarray(pqi.codes)
+    sids_np = np.asarray(pqi.slot_ids)
+    adc64 = np.full((B, N), -np.inf)
+    marange = np.arange(pqi.m)[:, None]
+    for b in range(B):
+        for p in range(probes_np.shape[1]):
+            li = int(probes_np[b, p])
+            cl = codes_np[li]  # [M, Lcap]
+            # lut entries are per-subspace L2 distances; the kernels rank by
+            # NEGATED sums (larger-better, kernels/pq.py adc_scores)
+            s_bp = -lut64[b, p, marange, cl >> 4, cl & 15].sum(0)
+            live = sids_np[li] >= 0
+            adc64[b, sids_np[li][live]] = s_bp[live]
+
+    def adc_regret(ids):
+        ids = np.asarray(ids, np.int64)
+        ach = -np.sort(-np.take_along_axis(adc64, ids, axis=1), axis=1)
+        ref = -np.sort(-adc64, axis=1)[:, : ids.shape[1]]
+        return float((ref - ach).max())
+
+    r = adc_regret(ci)
+    ok("adc_dma_regret", r <= 1.5e-2, f"ids_mode=dma score_regret={r:.2e}")
+
     # gen-5 key mode: packed score|lane keys + double-buffered codes DMA.
-    # Candidates match the DMA-id path modulo bf16-truncated ranking near
-    # 16-bit score collisions; values agree to the truncation. Exercises:
-    # dynamic-slot scratch reads, DMA semaphore arrays, cross-step
-    # prefetch, packed extraction — none checkable off-TPU.
+    # Exercises dynamic-slot scratch reads, DMA semaphore arrays,
+    # cross-step prefetch, packed extraction — none checkable off-TPU.
     kv2, ki2 = adc_scan.pallas_adc_topk(lut, probes, pqi.codes,
                                         pqi.slot_ids, k, g=4, chunk=ch,
                                         fills=pqi.fills(), ids_mode="key")
     kv2, ki2 = np.asarray(kv2), np.asarray(ki2)
-    ovl = np.mean([len(set(np.asarray(ci)[r].tolist())
-                       & set(ki2[r].tolist())) / k for r in range(B)])
     uniq = all(len(set(ki2[r].tolist())) == k and (ki2[r] >= 0).all()
                for r in range(B))
+    r = adc_regret(ki2)
     close = np.allclose(kv2, np.asarray(cv), rtol=1e-2, atol=1e-2)
-    ok("adc_key_mode", ovl >= 0.9 and uniq and close,
-       f"ids_mode=key overlap={ovl:.3f} lcap={lc} chunk={ch}")
+    ok("adc_key_mode", r <= 1.5e-2 and uniq and close,
+       f"ids_mode=key score_regret={r:.2e} lcap={lc} chunk={ch}")
 
     # gen-6 gather mode: XLA-gathered codes + plain pipelined block DMA.
-    # Must be bit-identical to gen-5 (same scoring/merge, different DMA
-    # plumbing); exercises the gathered BlockSpec index map on TPU.
+    # Judged against the oracle in its own right (not merely
+    # bit-identical-to-key); exercises the gathered BlockSpec index map.
     gv, gi = adc_scan.pallas_adc_topk(lut, probes, pqi.codes,
                                       pqi.slot_ids, k, g=4, chunk=ch,
                                       fills=pqi.fills(), ids_mode="gather")
-    gbit = (np.array_equal(np.asarray(gv), kv2)
-            and np.array_equal(np.asarray(gi), ki2))
-    ok("adc_gather_mode", gbit, f"ids_mode=gather bit-identical-to-key")
+    gi = np.asarray(gi)
+    uniq = all(len(set(gi[r].tolist())) == k and (gi[r] >= 0).all()
+               for r in range(B))
+    r = adc_regret(gi)
+    ok("adc_gather_mode", r <= 1.5e-2 and uniq,
+       f"ids_mode=gather score_regret={r:.2e}")
 
     # deep-k (kr=2 slot rows, k=256): the widened merge's [2, 128]
     # reductions/selects and the raw-slot emit + XLA top_k are new Mosaic

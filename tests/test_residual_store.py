@@ -149,6 +149,93 @@ def test_search_device_residual_end_to_end(built):
     assert rec(i_res) >= 0.95
 
 
+def test_residual_beats_plain_on_hard_corpus():
+    """The paved-road gate (VERDICT r4 #4): on the HARD (hierarchical-Zipf
+    topics, heavy overlap) corpus — the regime every flagship benchmark
+    runs — the residual-i8 store must rank at least as well as plain-i8 at
+    the SAME byte budget, measured at a candidate depth where coverage is
+    complete so refine precision is isolated. Reconstruction must also be
+    strictly finer (that is the mechanism, not just the outcome)."""
+    base = synth.hard(8000, 96, intrinsic=24, topics=64, seed=11)
+    idx = IVFPQIndex.build(base, nlist=16, m=16, use_opq=True,
+                           train_size=8000, seed=4)
+    store, rows, _, _ = _residual_store(base, idx)
+    plain_codes, plain_sc = vecbin.quantize_i8(rows)
+    plain = VectorStore.from_numpy(plain_codes, "i8", scales=plain_sc,
+                                   row_block=128)
+
+    # mechanism check on the MEAN per-row quant step (max is dominated by
+    # the single worst outlier topic, where residual ~ row): residual amax
+    # must be materially smaller on the typical row
+    step_res = np.asarray(store.scales)[: store.n].mean()
+    step_plain = plain_sc.mean()
+    assert step_res < 0.8 * step_plain, (step_res, step_plain)
+
+    queries, _ = synth.sample_queries(base, 32, seed=12, perturb=0.03)
+    dp = idx.centroids.shape[1]
+    qp = np.zeros((queries.shape[0], dp), np.float32)
+    qp[:, : queries.shape[1]] = queries
+    qj = jnp.asarray(qp)
+
+    s64 = queries.astype(np.float64) @ base.T.astype(np.float64)
+    ref_ids = np.argsort(-s64, axis=1, kind="stable")[:, :10]
+
+    def rec(ids):
+        return np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                        for a, b in zip(np.asarray(ids), ref_ids)])
+
+    # NOTE the plain store here holds codes of the ROTATED rows so both
+    # stores score against the same q_rot and ONLY the quantization origin
+    # differs (is_residual routing sends q_rot to the residual store; dot
+    # is rotation-invariant, so plain-rotated == plain-unrotated ranking)
+    class _PlainRot:
+        vectors = plain.vectors
+        scales = plain.scales
+        is_residual = True          # route q_rot to this store too
+        res_cents = jnp.zeros((1, dp), jnp.float32)
+        res_ids = jnp.zeros((plain.vectors.shape[0],), jnp.int32)
+
+        @staticmethod
+        def norms2():
+            return None
+
+    _, i_res = idx.search_device(qj, 10, nprobe=16, refine_k=256,
+                                 refine_store=store, backend="jnp")
+    _, i_pl = idx.search_device(qj, 10, nprobe=16, refine_k=256,
+                                refine_store=_PlainRot, backend="jnp")
+    assert rec(i_res) >= rec(i_pl) - 1e-9, (rec(i_res), rec(i_pl))
+
+
+def test_partition_residual_refine_matches_f32():
+    """PartitionRerankIndex refine_dtype='res_i8': 4x smaller refine store
+    must track the f32-rerank recall on a hard corpus (the §7 paved road)."""
+    from nvdb_tpu.index.partition import PartitionRerankIndex
+
+    base = synth.hard(6000, 64, intrinsic=16, topics=32, seed=21)
+    queries, _ = synth.sample_queries(base, 24, seed=22, perturb=0.03)
+    i_f32 = PartitionRerankIndex.build(base, nlist=32, refine_dtype="f32",
+                                       seed=1)
+    i_res = PartitionRerankIndex.build(base, nlist=32, refine_dtype="res_i8",
+                                       seed=1)
+    assert i_res.refine_store.is_residual
+    # byte check: residual-i8 refine payload is ~4x smaller than f32
+    f32_b = i_f32.refine_store.vectors.size * 4
+    res_b = (i_res.refine_store.vectors.size
+             + i_res.refine_store.scales.size * 4)
+    assert res_b < 0.3 * f32_b
+
+    s64 = queries.astype(np.float64) @ base.T.astype(np.float64)
+    ref_ids = np.argsort(-s64, axis=1, kind="stable")[:, :10]
+
+    def rec(ids):
+        return np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                        for a, b in zip(np.asarray(ids), ref_ids)])
+
+    _, id_f = i_f32.search(queries, 10, nprobe=8, rerank_k=64)
+    _, id_r = i_res.search(queries, 10, nprobe=8, rerank_k=64)
+    assert rec(id_r) >= rec(id_f) - 0.01, (rec(id_r), rec(id_f))
+
+
 def test_sharded_refine_residual(built):
     """Row-sharded residual refine == the single-device residual refine."""
     from nvdb_tpu.dist import mesh as meshmod
