@@ -33,10 +33,21 @@ IDX="$WORK/ivfpq_${NLIST}_m${PQM}.npz"
 [ -f "$IDX" ] || python -m nvdb_tpu.tools.ivf_build "$BASE" "$IDX" \
     --kind ivfpq --nlist "$NLIST" --pq-m "$PQM" --opq
 
-echo "== staged eval grid (pallas ADC + fused refine) =="
-NVDB_DBG_DIR="$WORK/dbg" python -m nvdb_tpu.tools.ivf_eval "$IDX" "$BASE" "$QRY" \
+# Residual-int8 refine store — the PAVED ROAD for int8 refine since round
+# 4: same byte budget as plain i8, ~1.8x smaller quant step, measured
+# strictly better at every (nprobe, rk) on the 8M ladder (BENCHMARKS §4e).
+RES_I8="$WORK/base_res_i8_$(basename "$IDX" .npz).vecbin"
+[ -f "$RES_I8" ] || python -m nvdb_tpu.tools.quantize_i8 --cpu \
+    "$BASE" "$RES_I8" --residual "$IDX"
+
+echo "== staged eval grid (pallas ADC + fused residual-i8 refine) =="
+NVDB_DBG_DIR="$WORK/dbg" python -m nvdb_tpu.tools.ivf_eval "$IDX" "$RES_I8" "$QRY" \
     --gt "$GT" --k "$K" --nprobe 16 32 64 128 --refine-k 0 50 100 \
-    --batch-q "${BQ:-8}"
+    --batch-q "${BQ:-8}" --residual-refine
+
+echo "== f32-store control row (the pre-r4 default, for the store delta) =="
+python -m nvdb_tpu.tools.ivf_eval "$IDX" "$BASE" "$QRY" \
+    --gt "$GT" --k "$K" --nprobe 64 --refine-k 100 --batch-q "${BQ:-8}"
 
 echo "== IVF-Flat comparison point =="
 IDXF="$WORK/ivfflat_${NLIST}.npz"
