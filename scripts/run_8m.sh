@@ -36,7 +36,11 @@ if [[ $stage == data || $stage == all ]]; then
       --count "$N" --dim "$D" --hard 48 --seed 1
   [ -s "$QRY" ] || python -m nvdb_tpu.tools.make_query --cpu "$BASE" "$QRY" \
       --q "$Q" --perturb 0.05
-  [ -s "$I8" ] || python -m nvdb_tpu.tools.quantize_i8 --cpu "$BASE" "$I8"
+  # SKIP_I8=1 skips the plain-i8 store: the residual-i8 store (resq stage)
+  # is the int8 serving default since round 4, so runs that only serve the
+  # residual + bf16 ladder (e.g. the 12.5M per-chip config) save the bytes.
+  [ "${SKIP_I8:-0}" = 1 ] || [ -s "$I8" ] || \
+      python -m nvdb_tpu.tools.quantize_i8 --cpu "$BASE" "$I8"
 fi
 
 if [[ $stage == gt || $stage == all ]]; then
@@ -72,13 +76,18 @@ if [[ $stage == eval || $stage == all ]]; then
   # rerank's ranking economy is measured, not assumed. RES=1 (default when
   # the residual store exists) reranks residual codes vs the index's coarse
   # centroids at the same byte budget.
+  # IDS_MODE=dma forces exact-f32 in-kernel candidate ranking (no bf16
+  # packed-key granularity) — the last-.0045 knob of BENCHMARKS §4e.
+  IM=()
+  [ -n "${IDS_MODE:-}" ] && IM=(--ids-mode "$IDS_MODE")
   if [[ "${RES:-auto}" != 0 && -s "$RES_I8" ]]; then
     python -m nvdb_tpu.tools.ivf_eval "$IDX" "$RES_I8" "$QRY" --gt "$GT" \
         --k "$K" --nprobe ${NPROBE:-64 128} --refine-k ${RK:-50 100} \
-        --batch-q "${BQ:-64}" --chained --wave "${WAVE:-4}" --residual-refine
+        --batch-q "${BQ:-64}" --chained --wave "${WAVE:-4}" \
+        --residual-refine "${IM[@]}"
   else
     python -m nvdb_tpu.tools.ivf_eval "$IDX" "$I8" "$QRY" --gt "$GT" \
         --k "$K" --nprobe ${NPROBE:-64 128} --refine-k ${RK:-50 100} \
-        --batch-q "${BQ:-64}" --chained --wave "${WAVE:-4}"
+        --batch-q "${BQ:-64}" --chained --wave "${WAVE:-4}" "${IM[@]}"
   fi
 fi
