@@ -232,15 +232,34 @@ class StreamingVecbinWriter:
     pattern of the reference's data pipeline (build_vecbin_chunked.py:119-135,
     370-378) and nvdb_quantize_i8.cpp:49-85 (i8 scales buffered, appended at end)."""
 
-    def __init__(self, path: str, dim: int, dtype: str = "f32"):
+    def __init__(self, path: str, dim: int, dtype: str = "f32",
+                 resume_rows: int = 0):
+        """``resume_rows > 0`` reopens an interrupted (header-unpatched) write
+        and continues after that many payload rows — the row count must come
+        from the caller (floor of payload bytes, e.g. a deterministic chunk
+        boundary), because the partial header still says count=0. i8 is not
+        resumable (scales live only in RAM until close)."""
         self.path = path
         self.dim = dim
         self.code = dtype_code(dtype)
         self._np_dt = _NP_BY_CODE[self.code]
         self._count = 0
         self._scales: list[np.ndarray] = []
-        self._f = open(path, "wb")
-        self._f.write(_header_bytes(0, dim, self.code))  # patched on close
+        if resume_rows > 0:
+            if self.code == DTYPE_I8:
+                raise ValueError("i8 streams are not resumable (scales are "
+                                 "buffered in RAM and appended at close)")
+            row_bytes = dim * self._np_dt.itemsize
+            end = HEADER_BYTES + resume_rows * row_bytes
+            if os.path.getsize(path) < end:
+                raise ValueError(f"{path} has fewer than {resume_rows} rows")
+            self._f = open(path, "r+b")
+            self._f.truncate(end)
+            self._f.seek(end)
+            self._count = resume_rows
+        else:
+            self._f = open(path, "wb")
+            self._f.write(_header_bytes(0, dim, self.code))  # patched on close
 
     def append(self, rows: np.ndarray, scales: Optional[np.ndarray] = None) -> None:
         rows = np.ascontiguousarray(rows, dtype=self._np_dt)

@@ -3,6 +3,8 @@ the arXiv embedding pipeline, scripts/build_vecbin_chunked.py)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from nvdb_tpu.formats import synth, vecbin
@@ -28,13 +30,29 @@ def main(argv=None):
                         "regime of the reference's nlist x nprobe surface)")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "i8"])
     p.add_argument("--raw12", action="store_true", help="legacy raw12 header")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted write (or extend a smaller "
+                        "same-seed file to a larger --count): chunks are "
+                        "seeded by row offset, so the payload prefix is "
+                        "identical either way. f32/bf16 only.")
     args = p.parse_args(argv)
     if args.raw12 and args.dtype != "f32":
         p.error("--raw12 is an f32-only legacy format (use --dtype f32)")
 
     chunk = 262144
-    with vecbin.StreamingVecbinWriter(args.out, args.dim, args.dtype) as w:
-        done = 0
+    resume_rows = 0
+    if args.resume and os.path.exists(args.out):
+        payload = os.path.getsize(args.out) - vecbin.HEADER_BYTES
+        row_bytes = args.dim * (1 if args.dtype == "i8" else
+                                2 if args.dtype == "bf16" else 4)
+        # floor to a chunk boundary: chunk_seed == row offset, so regenerating
+        # from the boundary reproduces the same rows an uninterrupted run would
+        resume_rows = max(payload // row_bytes // chunk * chunk, 0)
+    with vecbin.StreamingVecbinWriter(args.out, args.dim, args.dtype,
+                                      resume_rows=resume_rows) as w:
+        done = resume_rows
+        if resume_rows:
+            print(f"resuming at row {resume_rows}", flush=True)
         while done < args.count:
             n = min(chunk, args.count - done)
             if args.hard > 0:
