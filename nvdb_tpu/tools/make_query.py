@@ -24,7 +24,11 @@ def main(argv=None):
     queries, idx = synth.sample_queries(base, args.q, seed=args.seed,
                                         perturb=args.perturb)
     vecbin.write_vecbin(args.out, queries, legacy_raw12=args.raw12)
-    print("chosen_indices:", " ".join(map(str, idx.tolist())))
+    shown = idx.tolist()
+    suffix = ""
+    if len(shown) > 32:
+        shown, suffix = shown[:32], f" ... ({len(idx)} total)"
+    print("chosen_indices:", " ".join(map(str, shown)) + suffix)
     print(f"wrote {args.q} x {f.dim} f32 queries -> {args.out}")
 
 
